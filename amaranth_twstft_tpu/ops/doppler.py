@@ -1,0 +1,218 @@
+"""Frequency-offset (Doppler + LO offset) estimation.
+
+A BPSK signal squared loses its modulation and exposes a spectral line at
+twice the frequency offset — every reference chain exploits this:
+
+- per-epoch: ``d2=fftshift(abs(fft(d.^2))); [~,df]=max(d2(k)); df=freq(df)/2``
+  (``processing/Octave/godual_ranging.m:14-15``),
+- per-file: one decimate-by-25 pre-pass fixing df for the whole record
+  (``processing/CPP/main.cpp:363-450``),
+- tracked: spectral-line candidates above 20x the median, each validated by
+  a trial correlation SNR > 100, then a +/-3-bin refresh per block
+  (``acquisition/claudio_aligned_code_ranging_separate.m:27-47,168-169``),
+- fine: linear fit of the smoothed phase drift of the mixed signal
+  (``experiments/221219_twoway/processing/godual_ranging_fftw.py:35-39``).
+
+All estimators are dense/masked (no data-dependent shapes) so they batch
+and jit cleanly on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amaranth_twstft_tpu.ops.correlator import quick_xcorr_snr
+from amaranth_twstft_tpu.ops.fftutils import fftfreq_shifted
+
+__all__ = [
+    "window_mask",
+    "squaring_spectrum",
+    "squaring_df",
+    "per_file_df",
+    "search_df_candidates",
+    "refresh_df",
+    "fine_df_phase_drift",
+]
+
+
+def window_mask(n: int, fs: float, lo_hz: float, hi_hz: float) -> np.ndarray:
+    """Boolean mask over the *shifted* squaring spectrum selecting the
+    2*df search window (the reference's ``k=find((freq<hi)&(freq>lo))``,
+    ``godual_ranging.m:83-90``; note the window bounds are given on the
+    2x-frequency axis, e.g. +/-20 kHz selects |df| < 10 kHz)."""
+    freq = fftfreq_shifted(n, fs)
+    return (freq > lo_hz) & (freq < hi_hz)
+
+
+@jax.jit
+def squaring_spectrum(d: jax.Array) -> jax.Array:
+    """``fftshift(abs(fft(d^2)))`` along the last axis."""
+    return jnp.fft.fftshift(jnp.abs(jnp.fft.fft(d * d, axis=-1)), axes=-1)
+
+
+@jax.jit
+def _masked_argmax(x: jax.Array, mask: jax.Array):
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xm = jnp.where(mask, x, neg)
+    return jnp.argmax(xm, axis=-1)
+
+
+def squaring_df(d: jax.Array, fs: float, mask: np.ndarray):
+    """Per-epoch df: argmax of the squaring spectrum inside ``mask``.
+
+    Returns (df_hz, bin_index).  ``freq[argmax]/2`` with the reference's
+    inclusive linspace axis (``godual_ranging.m:14-15,73``).
+    """
+    n = d.shape[-1]
+    d2 = squaring_spectrum(d)
+    idx = _masked_argmax(d2, jnp.asarray(mask))
+    freq = jnp.asarray(fftfreq_shifted(n, fs), d2.dtype)
+    return freq[idx] / 2.0, idx
+
+
+def per_file_df(
+    x: jax.Array,
+    fs: float,
+    decim: int,
+    foffset_hz: float = 0.0,
+    frange_hz: float = 8000.0,
+    windowed: bool = True,
+):
+    """The C++ chain's fixed per-file df (``processing/CPP/main.cpp:363-450``).
+
+    ``x`` is the decimated stream (every ``decim``-th complex sample).  The
+    pre-pass mixes by ``exp(-2j*pi*foffset*t)`` to center the wanted signal,
+    removes the mean, squares, FFTs, and takes the argmax within
+    +/-2*frange on the decimated axis (``windowed=True``; the reference
+    searches the *whole* spectrum for channel 2, ``main.cpp:442`` — pass
+    ``windowed=False`` for that quirk).  Returns df in Hz.
+    """
+    m = x.shape[-1]
+    t = jnp.arange(m, dtype=jnp.float64 if x.dtype == jnp.complex128 else jnp.float32)
+    ang = -2.0 * jnp.pi * (foffset_hz * decim / fs) * t
+    lo = jnp.cos(ang) + 1j * jnp.sin(ang)
+    xm = x * lo.astype(x.dtype)
+    xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
+    d2 = squaring_spectrum(xm)
+    freq = fftfreq_shifted(m, fs / decim)
+    if windowed:
+        # C++ kmin/kmax: the last indices with freq <= -2*frange and
+        # freq < 2*frange (``main.cpp:401-406``) — a half-open window.
+        mask = (freq > -2.0 * frange_hz) & (freq < 2.0 * frange_hz)
+    else:
+        mask = np.ones(m, dtype=bool)
+    idx = _masked_argmax(d2, jnp.asarray(mask))
+    return jnp.asarray(freq, d2.dtype)[idx] / 2.0 + foffset_hz
+
+
+@partial(jax.jit, static_argnames=("max_candidates", "notch_halfwidth"))
+def _search_df_jit(
+    d: jax.Array,
+    dcode: jax.Array,
+    fcode: jax.Array,
+    mask: jax.Array,
+    freq: jax.Array,
+    fs: float,
+    threshold: float,
+    snr_threshold: float,
+    max_candidates: int = 32,
+    notch_halfwidth: int = 5,
+):
+    d2 = squaring_spectrum(d)
+    masked = jnp.where(mask, d2, 0.0)
+    med = jnp.nanmedian(jnp.where(mask, d2, jnp.nan))
+    above = masked > med * threshold
+    # densify: take the top-``max_candidates`` bins by magnitude among those
+    # above threshold (the reference iterates all of them and keeps the
+    # *last* passing candidate, ``claudio_...separate.m:33-44``; we keep the
+    # highest-index passing candidate to match).
+    score = jnp.where(above, d2, -jnp.inf)
+    cand_idx = jax.lax.top_k(score, max_candidates)[1]
+    cand_valid = jnp.take(above, cand_idx)
+    cand_df = jnp.take(freq, cand_idx) / 2.0
+    snrs = quick_xcorr_snr(
+        dcode[None, :], fcode, cand_df, fs, notch_halfwidth=notch_halfwidth
+    )
+    passing = cand_valid & (snrs > snr_threshold)
+    # the reference keeps the last candidate in ascending-bin order
+    best = jnp.max(jnp.where(passing, cand_idx, -1))
+    return best, jnp.sum(above)
+
+
+def search_df_candidates(
+    d: jax.Array,
+    dcode: jax.Array,
+    fcode: jax.Array,
+    fs: float,
+    mask: np.ndarray,
+    threshold: float = 20.0,
+    snr_threshold: float = 100.0,
+    max_candidates: int = 32,
+) -> tuple[int, int]:
+    """claudio ``search_df`` (``claudio_...separate.m:27-47``).
+
+    ``d`` is a whole block (squaring FFT input), ``dcode`` its first code
+    period (trial-correlation input).  Returns ``(kbon, n_above)``:
+    ``kbon`` is the shifted-spectrum bin of the validated spectral line, or
+    -1 if none validated (the reference's ``kbon=0`` sentinel).  The
+    reference also rejects when more than 100 bins pass the threshold
+    (``length(ktmp)<100``) — callers can use ``n_above`` for that gate.
+    """
+    n = d.shape[-1]
+    freq = jnp.asarray(fftfreq_shifted(n, fs))
+    best, n_above = _search_df_jit(
+        d,
+        dcode,
+        fcode,
+        jnp.asarray(mask),
+        freq,
+        fs,
+        threshold,
+        snr_threshold,
+        max_candidates=max_candidates,
+    )
+    return int(best), int(n_above)
+
+
+def refresh_df(d: jax.Array, fs: float, kbon: int, halfwidth: int = 3):
+    """Per-block df refresh: argmax of the squaring spectrum within
+    ``kbon +/- halfwidth`` (``claudio_...separate.m:168-169``)."""
+    n = d.shape[-1]
+    d2 = squaring_spectrum(d)
+    window = jax.lax.dynamic_slice_in_dim(d2, kbon - halfwidth, 2 * halfwidth + 1)
+    idx = kbon - halfwidth + jnp.argmax(window)
+    freq = jnp.asarray(fftfreq_shifted(n, fs), d2.dtype)
+    return freq[idx] / 2.0, idx
+
+
+@partial(jax.jit, static_argnames=("stride", "boxcar"))
+def fine_df_phase_drift(
+    y: jax.Array, fs: float, stride: int = 10, boxcar: int = 100
+):
+    """Fine frequency from the phase drift of the coarsely mixed signal.
+
+    pyFFTW chain: fit a line to the boxcar-smoothed ``angle(y)`` over the
+    first fs/3 samples decimated by 10; ``dfleftover = slope/2/pi``
+    (``godual_ranging_fftw.py:35-39``; present in Octave only as commented
+    code, ``godual_ranging.m:19-24``).  Batched over leading axes.
+    """
+    n = int(fs // 3)
+    ph = jnp.angle(y[..., :n:stride])
+    kernel = jnp.ones((boxcar,), ph.dtype) / boxcar
+    # 'full' convolution then the same trim as np.convolve(...)[49:-50]
+    smoothed = jax.vmap(
+        lambda row: jnp.convolve(row, kernel, mode="full"),
+        in_axes=0,
+        out_axes=0,
+    )(ph.reshape(-1, ph.shape[-1]))[..., boxcar // 2 - 1 : -(boxcar // 2)]
+    smoothed = smoothed.reshape(ph.shape[:-1] + (smoothed.shape[-1],))
+    t = (1.0 + stride * jnp.arange(smoothed.shape[-1], dtype=ph.dtype)) / fs
+    tm = jnp.mean(t)
+    pm = jnp.mean(smoothed, axis=-1, keepdims=True)
+    dt = t - tm
+    slope = jnp.sum(dt * (smoothed - pm), axis=-1) / jnp.sum(dt * dt)
+    return slope / (2.0 * jnp.pi)

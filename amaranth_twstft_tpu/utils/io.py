@@ -1,0 +1,132 @@
+"""Capture ingest: sc16 interleaved IQ files, epoch slicing, resume.
+
+The canonical input format is the reference's: interleaved 16-bit IQ at
+5 MS/s as written by the X310/B210 acquisition
+(``acquisition/rx_multi_samples.cpp:155,186-216``).  Two layouts exist:
+
+- **dual-channel** one-file layout (godual/C++ chains): int16 frames
+  ``[I1 Q1 I2 Q2]`` — ``d=fread('int16'); d=d(1:2:end)+j*d(2:2:end);
+  d1=d(1:2:end); d2=d(2:2:end)`` (``godual_ranging.m:76-80``,
+  ``processing/CPP/main.cpp:475-483``); channel 1 is the measurement,
+  channel 2 the loopback reference,
+- **single-channel** per-file layout (claudio chain): ``[I Q]`` frames in
+  ``*_1.bin`` / ``*_2.bin`` (``claudio_...separate.m:104,148-151``).
+
+Reads are memmap-based so a 1.65 GB 5.5-min capture never fully
+materializes on host (SURVEY.md §5 "Long-context").
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+__all__ = [
+    "open_sc16",
+    "read_sc16_epochs",
+    "decimate_sc16",
+    "write_sc16",
+    "n_samples_sc16",
+    "already_done",
+    "move_to_done",
+]
+
+
+def open_sc16(path: str, channels: int = 2) -> np.ndarray:
+    """Memmap an sc16 file as an int16 array of shape (n, 2*channels).
+
+    Empty or sub-frame files yield a (0, frame) array rather than an mmap
+    error — acquisition restarts routinely leave truncated records
+    (``gosampling.sh:13-18`` retries on such files).
+    """
+    frame = 2 * channels
+    size = os.path.getsize(path) // (2 * frame)
+    if size == 0:
+        return np.zeros((0, frame), dtype=np.int16)
+    return np.memmap(path, dtype=np.int16, mode="r", shape=(size, frame))
+
+
+def n_samples_sc16(path: str, channels: int = 2) -> int:
+    return os.path.getsize(path) // (4 * channels)
+
+
+def read_sc16_epochs(
+    path: str,
+    start_sample: int,
+    n_epochs: int,
+    samples_per_epoch: int,
+    channels: int = 2,
+    dtype=np.complex64,
+):
+    """Read ``n_epochs`` contiguous epochs -> (channels, n_epochs, L) complex.
+
+    Short tails are dropped, as the reference's ``fread`` loops do
+    (``godual_ranging.m:75-102``).  Returns (array, n_read).
+    """
+    mm = open_sc16(path, channels)
+    total = mm.shape[0]
+    n_avail = max(0, (total - start_sample) // samples_per_epoch)
+    n = min(n_epochs, n_avail)
+    if n == 0:
+        return (
+            np.zeros((channels, 0, samples_per_epoch), dtype=dtype),
+            0,
+        )
+    raw = np.asarray(
+        mm[start_sample : start_sample + n * samples_per_epoch]
+    ).astype(np.float32)
+    out = np.empty((channels, n, samples_per_epoch), dtype=dtype)
+    for c in range(channels):
+        z = raw[:, 2 * c] + 1j * raw[:, 2 * c + 1]
+        out[c] = z.reshape(n, samples_per_epoch)
+    return out, n
+
+
+def decimate_sc16(
+    path: str, decim: int, channels: int = 2, dtype=np.complex64
+) -> np.ndarray:
+    """Every ``decim``-th complex sample of each channel -> (channels, m).
+
+    The C++ df pre-pass reads one frame then seeks ``decim-1`` frames
+    (``processing/CPP/main.cpp:371-395``); a strided memmap view does the
+    same without the 1.2 GB pass.
+    """
+    mm = open_sc16(path, channels)
+    sub = np.asarray(mm[::decim]).astype(np.float32)
+    out = np.empty((channels, sub.shape[0]), dtype=dtype)
+    for c in range(channels):
+        out[c] = sub[:, 2 * c] + 1j * sub[:, 2 * c + 1]
+    return out
+
+
+def write_sc16(path: str, *channels_iq: np.ndarray) -> None:
+    """Write complex channels as an interleaved sc16 file (fixtures/tests).
+
+    Values are clipped to int16 like the SDR front-end would saturate.
+    """
+    n = len(channels_iq[0])
+    frame = 2 * len(channels_iq)
+    out = np.empty((n, frame), dtype=np.int16)
+    for c, z in enumerate(channels_iq):
+        out[:, 2 * c] = np.clip(np.round(np.real(z)), -32768, 32767)
+        out[:, 2 * c + 1] = np.clip(np.round(np.imag(z)), -32768, 32767)
+    out.tofile(path)
+
+
+# ----------------------------------------------------------------------
+# Idempotent resume — the reference skips records whose output exists and
+# moves processed inputs to ``donetw/``
+# (``claudio_...separate.m:119,217-218,210-215``, ``gofinal_ltfb.m:32``).
+# ----------------------------------------------------------------------
+def already_done(out_path: str) -> bool:
+    return os.path.exists(out_path) or os.path.exists(out_path + ".gz")
+
+
+def move_to_done(in_path: str, done_dir: str = "donetw") -> str:
+    ddir = os.path.join(os.path.dirname(in_path) or ".", done_dir)
+    os.makedirs(ddir, exist_ok=True)
+    dest = os.path.join(ddir, os.path.basename(in_path))
+    shutil.move(in_path, dest)
+    return dest

@@ -1,0 +1,161 @@
+"""Correlator kernel vs the float64 NumPy oracle and known ground truth."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amaranth_twstft_tpu.models.emitter import (
+    ChannelSim,
+    baseband_second,
+    synthesize_capture,
+)
+from amaranth_twstft_tpu.ops import doppler
+from amaranth_twstft_tpu.ops.correlator import correlate_epochs, delay_seconds
+from amaranth_twstft_tpu.ops.lfsr import prn_chips
+from amaranth_twstft_tpu.ops.prn import (
+    chips_to_pm1,
+    code_spectrum,
+    interp_code,
+    upsample_zoh,
+)
+from amaranth_twstft_tpu.ops.fftutils import fftfreq_shifted
+from tests.oracle_numpy import processing_oracle
+
+
+def _replica(cfg):
+    chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len, cfg.seed)
+    code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip))
+    fcode = code_spectrum(code, conj=True)
+    code3 = interp_code(code, 3)
+    return code, fcode, code3
+
+
+def _epochs(cfg, stream, n):
+    L = cfg.samples_per_code
+    return np.stack([stream[i * L : (i + 1) * L] for i in range(n)])
+
+
+@pytest.fixture(scope="module")
+def capture(small_cfg):
+    (stream,) = synthesize_capture(
+        small_cfg,
+        [
+            ChannelSim(
+                delay_samples=137.25,
+                doppler_hz=210.0,
+                amplitude=1000.0,
+                noise_sigma=300.0,
+            )
+        ],
+        n_seconds=1,
+        seed=7,
+    )
+    return stream
+
+
+def test_matches_numpy_oracle(small_cfg, capture):
+    cfg = small_cfg
+    code, fcode, code3 = _replica(cfg)
+    d = _epochs(cfg, capture, 8)
+    L = cfg.samples_per_code
+    freq = fftfreq_shifted(L, cfg.fs)
+    mask = doppler.window_mask(L, cfg.fs, -2000.0, 2000.0)
+
+    df, _ = doppler.squaring_df(jnp.asarray(d), cfg.fs, mask)
+    res = correlate_epochs(
+        jnp.asarray(d),
+        fcode,
+        df,
+        jnp.asarray(code3),
+        cfg.fs,
+        nint=1,
+    )
+    for i in range(d.shape[0]):
+        o = processing_oracle(d[i], cfg.fs, np.asarray(fcode), code3, freq, mask)
+        assert int(res.indice[i]) == o["indice"]
+        np.testing.assert_allclose(float(df[i]), o["df"], rtol=1e-12)
+        np.testing.assert_allclose(
+            float(res.correction[i]), o["correction"], rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            complex(res.xval[i]), o["xval"], rtol=1e-9
+        )
+        np.testing.assert_allclose(float(res.snr_r[i]), o["snr_r"], rtol=1e-7)
+        np.testing.assert_allclose(float(res.snr_i[i]), o["snr_i"], rtol=1e-7)
+        np.testing.assert_allclose(
+            float(res.puissance[i]), o["puissance"], rtol=1e-9
+        )
+
+
+def test_recovers_known_delay_and_doppler(small_cfg, capture):
+    cfg = small_cfg
+    _, fcode, code3 = _replica(cfg)
+    d = _epochs(cfg, capture, 10)
+    L = cfg.samples_per_code
+    mask = doppler.window_mask(L, cfg.fs, -2000.0, 2000.0)
+    df, _ = doppler.squaring_df(jnp.asarray(d), cfg.fs, mask)
+    res = correlate_epochs(jnp.asarray(d), fcode, df, jnp.asarray(code3), cfg.fs)
+    delay = np.asarray(delay_seconds(res, cfg.fs, 3))
+    # ground truth: 137.25 samples
+    np.testing.assert_allclose(delay * cfg.fs, 137.25, atol=0.05)
+    # Doppler recovered within a squaring-FFT bin (fs/L/2 = 25 Hz here)
+    np.testing.assert_allclose(np.asarray(df), 210.0, atol=cfg.fs / L / 2)
+    # the reference SNR estimator is per-sample mean^2/var
+    # (godual_ranging.m:44-45): amplitude 1000 vs sigma 300/component
+    # gives ~5 dB here after fractional-alignment loss
+    assert np.all(np.asarray(res.snr_db) > 3)
+
+
+def test_delay_shift_invariance(small_cfg):
+    """Property: shifting the signal by k samples shifts the estimate by k
+    (delay estimate equivariance under circular shift, SURVEY.md §4)."""
+    cfg = small_cfg
+    _, fcode, code3 = _replica(cfg)
+    base = baseband_second(cfg)[: cfg.samples_per_code] * 800.0
+    rng = np.random.default_rng(3)
+    base = base + rng.normal(0, 100, len(base)) + 1j * rng.normal(0, 100, len(base))
+    shifts = [0, 1, 17, 500]
+    d = np.stack([np.roll(base, s) for s in shifts])
+    res = correlate_epochs(
+        jnp.asarray(d), fcode, jnp.zeros(len(shifts)), jnp.asarray(code3), cfg.fs
+    )
+    delay = np.asarray(delay_seconds(res, cfg.fs, 3)) * cfg.fs
+    np.testing.assert_allclose(delay - delay[0], shifts, atol=0.02)
+
+
+def test_snr_monotone_in_noise(small_cfg):
+    """Property: SNR decreases as noise increases (SURVEY.md §4)."""
+    cfg = small_cfg
+    _, fcode, code3 = _replica(cfg)
+    base = baseband_second(cfg)[: cfg.samples_per_code] * 500.0
+    rng = np.random.default_rng(11)
+    noise = rng.normal(0, 1.0, len(base)) + 1j * rng.normal(0, 1.0, len(base))
+    sigmas = [20.0, 200.0, 2000.0]
+    d = np.stack([base + s * noise for s in sigmas])
+    res = correlate_epochs(
+        jnp.asarray(d), fcode, jnp.zeros(3), jnp.asarray(code3), cfg.fs
+    )
+    snr = np.asarray(res.snr_db)
+    assert snr[0] > snr[1] > snr[2]
+
+
+def test_float32_delay_close_to_float64(small_cfg, capture):
+    """The complex64 TPU path tracks the float64 path to sub-millisample
+    delay error (the 0.1 ns budget at fs=5 MS/s is 5e-4 samples)."""
+    cfg = small_cfg
+    _, fcode, code3 = _replica(cfg)
+    d = _epochs(cfg, capture, 6)
+    mask = doppler.window_mask(cfg.samples_per_code, cfg.fs, -2000.0, 2000.0)
+    df64, _ = doppler.squaring_df(jnp.asarray(d), cfg.fs, mask)
+    r64 = correlate_epochs(
+        jnp.asarray(d), fcode, df64, jnp.asarray(code3), cfg.fs
+    )
+    d32 = jnp.asarray(d.astype(np.complex64))
+    f32code = jnp.asarray(np.asarray(fcode).astype(np.complex64))
+    r32 = correlate_epochs(
+        d32, f32code, df64.astype(jnp.float32), jnp.asarray(code3, jnp.float32),
+        cfg.fs,
+    )
+    d64 = np.asarray(delay_seconds(r64, cfg.fs, 3)) * cfg.fs
+    d32v = np.asarray(delay_seconds(r32, cfg.fs, 3)) * cfg.fs
+    assert np.max(np.abs(d64 - d32v)) < 5e-3  # samples
