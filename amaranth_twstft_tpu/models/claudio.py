@@ -1,0 +1,268 @@
+"""The current per-code aligned tracking chain ("claudio" scripts).
+
+Behavioral spec (``acquisition/claudio_aligned_code_ranging_separate.m``):
+
+- single-channel files ``*_1.bin`` / ``*_2.bin``, consumed in 2-s blocks
+  with a leftover carry ``dold`` between blocks (:148, :167, :196-200),
+- the first 30 s are skipped while hunting the Doppler line; once
+  ``search_df`` validates a spectral candidate the stream restarts from
+  the file beginning (:128, :153-160),
+- per block, df is refreshed by an argmax within +/-3 bins of the locked
+  line (:168-169),
+- each 40 ms code window is correlated at that df; when the peak wanders
+  from the window edge with sufficient SNR, the stream is re-seeked
+  ("MOVED") and the window reprocessed (:171-193),
+- outputs: per-code ``xval1``/``indice1``/``correction1``/SNR/power, the
+  per-block ``df`` series and the ``moved`` slip list (:207).
+
+TPU-native recast (SURVEY.md §7.3 "data-dependent control flow"): the
+sequential per-window loop with mutable ``dindex`` becomes *batched
+correlation + masked re-computation*: correlate every window of a block
+at its nominal offset, detect the first slip, shift all later windows by
+its correction, re-correlate only from that point, and iterate (slips are
+rare — sample loss events — so this converges in 0-2 passes).  The
+numerics per window are identical; the carry between blocks is the same
+``dold`` arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from amaranth_twstft_tpu.config import ProcessingConfig, SignalConfig, StationConfig
+from amaranth_twstft_tpu.models.godual import build_replica
+from amaranth_twstft_tpu.ops.correlator import correlate_epochs
+from amaranth_twstft_tpu.ops.doppler import (
+    refresh_df,
+    search_df_candidates,
+    window_mask,
+)
+from amaranth_twstft_tpu.utils import io, matio
+
+__all__ = ["claudio_df_window", "process_file", "output_name"]
+
+
+def claudio_df_window(station: StationConfig, ranging: bool) -> tuple[float, float]:
+    """Search window on the doubled-frequency axis: +/-8 kHz for the
+    loopback/ranging channel, 92..108 kHz (OP-signed) for remote
+    (``claudio_...separate.m:135-141``)."""
+    if ranging:
+        return (-8e3, 8e3)
+    if station.op:
+        return (-108e3, -92e3)
+    return (92e3, 108e3)
+
+
+def output_name(capture_name: str, remote: bool, ranging: bool) -> str:
+    """``remoteclaudio<name>.mat`` / ``rangingclaudio`` / ``localclaudio``
+    (``claudio_...separate.m:110-117``)."""
+    stem = os.path.basename(capture_name).replace(".bin", ".mat")
+    if remote:
+        return "remoteclaudio" + stem
+    if ranging:
+        return "rangingclaudio" + stem
+    return "localclaudio" + stem
+
+
+@dataclass
+class _Acc:
+    xval: list = field(default_factory=list)
+    indice: list = field(default_factory=list)  # non-interpolated grid, float
+    correction: list = field(default_factory=list)
+    snr_r: list = field(default_factory=list)
+    snr_i: list = field(default_factory=list)
+    puissance: list = field(default_factory=list)
+    df_per_code: list = field(default_factory=list)
+    moved: list = field(default_factory=list)  # 1-based epoch indices
+
+
+def _correlate_windows(d_block, offsets, rep, proc, df, fs, dtype):
+    """Correlate windows of ``d_block`` starting at ``offsets`` (host)."""
+    L = rep.samples_per_code
+    wins = np.stack([d_block[o : o + L] for o in offsets])
+    res = correlate_epochs(
+        jnp.asarray(wins),
+        jnp.asarray(rep.fcode),
+        jnp.full((len(offsets),), df, dtype=rep.code_interp.dtype),
+        rep.code_interp,
+        fs,
+        nint=proc.nint,
+        conjugate_data=True,
+        fcode_interp=rep.fcode_interp,
+    )
+    return res
+
+
+def process_file(
+    capture_path: str,
+    code_path: str,
+    signal: SignalConfig,
+    proc: ProcessingConfig | None = None,
+    station: StationConfig | None = None,
+    remote: bool = False,
+    ranging: bool = True,
+    out_dir: str | None = None,
+    dtype=jnp.complex128,
+    max_slip_passes: int = 4,
+    verbose: bool = False,
+) -> dict | None:
+    """Run the claudio chain over one single-channel capture file.
+
+    Returns the result dict (or None if the output already exists — the
+    reference's idempotent resume, ``claudio_...separate.m:119``).
+    """
+    proc = proc or ProcessingConfig(
+        df_window_hz=(-8e3, 8e3), conjugate_data=True
+    )
+    station = station or StationConfig()
+    out_dir = out_dir or (os.path.dirname(capture_path) or ".")
+    out_mat = os.path.join(
+        out_dir, output_name(os.path.basename(capture_path), remote, ranging)
+    )
+    if io.already_done(out_mat):
+        return None
+
+    # claudio builds the replica *without* conjugating the code spectrum;
+    # the data is conjugated instead (fcode=fft(code), :124)
+    rep = build_replica(code_path, signal, proc, conjugate=False, dtype=dtype)
+    L = rep.samples_per_code
+    fs = signal.fs
+    block = int(fs * proc.block_seconds)  # complex samples per block
+    lo_hz, hi_hz = claudio_df_window(station, ranging)
+    np_dtype = np.complex128 if dtype == jnp.complex128 else np.complex64
+
+    acc = _Acc()
+    n_total = io.n_samples_sc16(capture_path, channels=1)
+
+    # ---- df hunt: scan blocks from 30 s on until a line validates ------
+    mask = window_mask(block, fs, lo_hz, hi_hz)
+    kbon = -1
+    start = int(proc.skip_seconds * fs)
+    pos = start
+    while pos + block <= n_total:
+        d, n = io.read_sc16_epochs(capture_path, pos, 1, block, channels=1,
+                                  dtype=np_dtype)
+        if n == 0:
+            break
+        dblk = d[0, 0]
+        kbon, _ = search_df_candidates(
+            jnp.asarray(dblk),
+            jnp.asarray(dblk[:L] - dblk[:L].mean()),
+            jnp.asarray(rep.fcode),
+            fs,
+            mask,
+            threshold=proc.df_threshold,
+        )
+        if kbon >= 0:
+            break
+        pos += block
+    if kbon < 0:
+        # no signal found in the whole file
+        matio.save_claudio_style(out_mat, _acc_asdict(acc), code=rep.code)
+        return {"mat_path": out_mat, "found": False}
+
+    # ---- main loop from the file start (the reference rewinds) --------
+    pos = 0
+    dold = np.zeros(0, dtype=np_dtype)
+    p = 1  # 1-based epoch counter like the reference printouts
+    while True:
+        d, n = io.read_sc16_epochs(capture_path, pos, 1, block, channels=1,
+                                  dtype=np_dtype)
+        if n == 0:
+            break
+        pos += block
+        dcat = np.concatenate([dold, d[0, 0]])
+        # df refresh within +/-3 bins of the locked line (:168-169).  The
+        # reference refreshes on the carry-extended block; we refresh on
+        # the fixed-length raw block so every refresh compiles to the one
+        # cached program (variable-length FFTs would recompile per block).
+        df_val = float(refresh_df(jnp.asarray(d[0, 0]), fs, kbon)[0])
+
+        # ---- batched window extraction + masked slip recompute --------
+        offsets = list(range(0, len(dcat) - L + 1, L))
+        if not offsets:
+            dold = dcat
+            continue
+        n_win = len(offsets)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype)
+        for _pass in range(max_slip_passes):
+            ind3 = np.asarray(res.indice, dtype=np.float64)
+            indice_ni = ind3 / proc.interp_factor  # non-interp grid (0-based)
+            snr_db = np.asarray(res.snr_db)
+            # slip: peak away from either window edge with usable SNR
+            # (:175-186; indices there are 1-based -> >43 & <len/2 etc.)
+            slipped = (snr_db > proc.snr_gate_db) & (
+                ((indice_ni > 42) & (indice_ni < L / 2))
+                | ((indice_ni < L - 3) & (indice_ni >= L / 2))
+            )
+            first = int(np.argmax(slipped)) if slipped.any() else -1
+            if first < 0:
+                break
+            # re-seek: dindex -= indice - 21 (+L if it would go negative)
+            shift = int(round(indice_ni[first])) - 21
+            offsets = offsets.copy()
+            offsets[first:] = offsets[first:] - shift
+            if offsets[first] < 0:
+                offsets[first:] += L
+            # drop windows that no longer fit
+            keep = offsets + L <= len(dcat)
+            offsets = offsets[keep]
+            n_win = len(offsets)
+            if n_win == 0:
+                break
+            acc.moved.append(p + first)
+            res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype)
+
+        if n_win:
+            ind3 = np.asarray(res.indice, dtype=np.float64)
+            acc.indice.extend((ind3 / proc.interp_factor).tolist())
+            acc.correction.extend(np.asarray(res.correction).tolist())
+            acc.xval.extend(np.asarray(res.xval).tolist())
+            acc.snr_r.extend(np.asarray(res.snr_r).tolist())
+            acc.snr_i.extend(np.asarray(res.snr_i).tolist())
+            acc.puissance.extend(np.asarray(res.puissance).tolist())
+            acc.df_per_code.extend([df_val] * n_win)
+            if verbose:
+                for i in range(n_win):
+                    print(
+                        f"{p+i}\t{(ind3[i]+np.asarray(res.correction)[i])/fs/proc.interp_factor:.12f}"
+                        f"\t{df_val:.3f}\t{float(np.asarray(res.snr_db)[i]):.1f}"
+                    )
+            p += n_win
+            tail = offsets[-1] + L
+        else:
+            tail = 0
+        dold = dcat[tail:]
+        if n < 1 or len(d[0, 0]) < block:
+            break
+
+    matio.save_claudio_style(out_mat, _acc_asdict(acc), code=rep.code,
+                             moved=acc.moved)
+    return {
+        "mat_path": out_mat,
+        "found": True,
+        "indice": np.asarray(acc.indice),
+        "correction": np.asarray(acc.correction),
+        "xval": np.asarray(acc.xval),
+        "snr_r": np.asarray(acc.snr_r),
+        "snr_i": np.asarray(acc.snr_i),
+        "df": np.asarray(acc.df_per_code),
+        "moved": acc.moved,
+    }
+
+
+def _acc_asdict(acc: _Acc) -> dict:
+    return {
+        "indice": np.asarray(acc.indice),
+        "correction": np.asarray(acc.correction),
+        "snr_r": np.asarray(acc.snr_r),
+        "snr_i": np.asarray(acc.snr_i),
+        "df": np.asarray(acc.df_per_code),
+        "puissance": np.asarray(acc.puissance),
+        "xval": np.asarray(acc.xval),
+    }

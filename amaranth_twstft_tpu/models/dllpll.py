@@ -1,0 +1,431 @@
+"""Multi-channel DLL/PLL tracking receiver — the GNSS-style fifth chain.
+
+Behavioral spec (``experiments/231001_DLL_PLL/rxcomplex.cpp``, a CUDA→CPU
+port by Yi-Jiun Huang & J.-M. Friedt):
+
+- up to 120 channels configured from ``sdr.param``: physical channel,
+  PRN id, initial fc, chip rate, filter, acquisition range/step, min SNR
+  (:272-285),
+- replica: code sampled at fs, brick-wall low-pass in the frequency
+  domain (:416-433), lag bank of 2*nlag+1 shifted copies (:430),
+- acquisition: delay x Doppler search, SNR-gated (:522-586),
+- tracking, once per second: carrier-phase-continuous downconversion
+  (:592-600), correlation of all codes x lags in ONE GEMM (:605),
+  per-code peak + High-Resolution-Correlator discriminator (:649-659),
+  median/IQR 3-sigma outlier rejection (:699-700), BPSK half-cycle
+  phase unwrap (:702-720), weighted linear fits of phase -> fc/df and of
+  code phase -> gd/dg/pt (:728-744), lock/loss state machine (:756-798),
+- per-second outputs: ``fc+df, phi, cnt, ib, gd, dg, sdgd, Pk_dBm,
+  Pnoise_dBm`` text rows (:736-753).
+
+TPU-first design: the lag-bank correlation is exactly an MXU matmul
+((codes x nobs) @ (nobs x lags)); acquisition is the dense CAF of
+:mod:`amaranth_twstft_tpu.ops.caf` instead of the hierarchical
+frequency-halving loop; the per-code phase unwrap is a ``lax.scan``; the
+acquire/track branch is host-level (one decision per channel per second).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amaranth_twstft_tpu.ops.caf import caf_search
+from amaranth_twstft_tpu.ops.lfsr import prn_chips
+from amaranth_twstft_tpu.ops.peaks import (
+    hrc_correction,
+    median_iqr_sigma,
+    weighted_linear_fit,
+)
+from amaranth_twstft_tpu.ops.prn import (
+    chips_to_pm1,
+    lowpass_spectrum_mask,
+    upsample_zoh,
+)
+
+__all__ = ["ChannelConfig", "Channel", "TrackState", "Receiver", "parse_sdr_param"]
+
+
+@dataclass(frozen=True)
+class ChannelConfig:
+    """One receiver channel (one ``sdr.param`` row, ``rxcomplex.cpp:272-285``)."""
+
+    physical: str = "A"  # "A" or "B"
+    prn_id: int = 100  # >=100 => 100 kchip SDR code (rxcomplex.cpp:305-310)
+    bit_len: int = 17
+    taps: int = 9
+    fc_init_hz: float = 0.0
+    chip_rate: float = 2.5e6
+    code_len: int = 100_000
+    filter_hz: float = 2.5e6  # low-pass cut-off (= chip rate, :362)
+    acq_range_hz: float = 4000.0
+    acq_step_hz: float = 100.0
+    snr_min_db: float = 7.0
+    nlag: int = 28  # :310
+
+    @property
+    def codes_per_second(self) -> int:
+        return int(self.chip_rate // self.code_len)
+
+
+def parse_sdr_param(text: str) -> list[ChannelConfig]:
+    """Parse the reference's ``sdr.param`` format: lines
+    ``<ch> <N|S> <prn> <fc> <kcps> <fltkhz> <frange> <fstep> <snrmin>``
+    (``rxcomplex.cpp:271-278``); '#' comments skipped."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) != 9:
+            continue
+        ch, _sic, prn, fc, kcps, fltkhz, frange, fstep, snrmin = parts
+        out.append(
+            ChannelConfig(
+                physical=ch,
+                prn_id=int(prn),
+                fc_init_hz=float(fc),
+                chip_rate=float(kcps) * 1e3,
+                filter_hz=float(fltkhz) * 1e3,
+                acq_range_hz=float(frange),
+                acq_step_hz=float(fstep),
+                snr_min_db=float(snrmin),
+            )
+        )
+    return out
+
+
+@dataclass
+class Channel:
+    """Replica arrays + config, built once per channel."""
+
+    cfg: ChannelConfig
+    nobs: int  # samples per code period
+    wav: np.ndarray  # filtered replica, real f32 (nobs,)
+    fcode: np.ndarray  # conj FFT of the replica (for acquisition CAF)
+    code_interp: np.ndarray
+    psbb: float  # replica baseband power (rxcomplex.cpp:437-438)
+
+
+def build_channel(cfg: ChannelConfig, fs: float) -> Channel:
+    sps_per_chip = int(round(fs / cfg.chip_rate))
+    chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len)
+    code = chips_to_pm1(upsample_zoh(chips, sps_per_chip), np.float64)
+    nobs = len(code)
+    # brick-wall low-pass of the replica in the frequency domain
+    # (rxcomplex.cpp:416-433); cut-off +/- filter_hz
+    spec = np.fft.fft(code)
+    mask = lowpass_spectrum_mask(nobs, fs / nobs, cfg.filter_hz, -cfg.filter_hz)
+    wav = np.real(np.fft.ifft(spec * mask))
+    psbb = float(np.mean(wav**2))
+    fcode = np.conj(np.fft.fft(wav))
+    code3 = np.repeat(code, 3)
+    return Channel(
+        cfg=cfg,
+        nobs=nobs,
+        wav=wav.astype(np.float32),
+        fcode=fcode,
+        code_interp=code3.astype(np.float32),
+        psbb=psbb,
+    )
+
+
+@dataclass
+class TrackState:
+    """Per-channel tracking state (mutable across seconds)."""
+
+    is_trk: bool = False
+    is_first: bool = False
+    fc: float = 0.0  # carrier frequency (Hz)
+    df: float = 0.0  # sub-Hz remainder
+    pt: int = 0  # code head position (samples)
+    pt_prev: int = 0
+    last_phi: float = 0.0
+    gd: float = 0.0  # code phase (ns)
+    dg: float = 0.0  # code phase rate (ns/s)
+    sdgd: float = 0.0
+    phi: float = 0.0
+    pk: float = 0.0
+    lock_seconds: int = 0
+
+
+@dataclass
+class SecondReport:
+    """One output row (``rxcomplex.cpp:736-753``)."""
+
+    fc_hz: float
+    phi_cycles: float
+    cnt: int
+    gd_ns: float
+    dg_ns_per_s: float
+    sdgd_ns: float
+    pk_dbm: float
+    pnoise_dbm: float
+    locked: bool
+
+
+def _v2_to_dbm(v2: float) -> float:
+    """<V^2> into a 50-ohm load -> dBm (reference's v2todBm)."""
+    return 10.0 * np.log10(max(v2, 1e-30) / 50.0 * 1000.0)
+
+
+@jax.jit
+def _lag_bank_correlate(obs_ri, wav_lags):
+    """MXU lag-bank correlation: (codes, nobs) x (nobs, nlags).
+
+    ``obs_ri``: (2, codes, nobs) float32 (re, im);
+    ``wav_lags``: (nobs, nlags) float32.
+    Returns power (codes, nlags) and phase (codes, nlags).
+    The reference performs the same contraction with one DGEMM over an
+    interleaved re/im observation matrix (``rxcomplex.cpp:605``).
+    """
+    re = jnp.dot(obs_ri[0], wav_lags, preferred_element_type=jnp.float32)
+    im = jnp.dot(obs_ri[1], wav_lags, preferred_element_type=jnp.float32)
+    power = 0.5 * (re * re + im * im)
+    phase = jnp.arctan2(-im, re) / (2.0 * jnp.pi)
+    return power, phase
+
+
+@jax.jit
+def _phase_unwrap_scan(res_phi, w, last_phi0):
+    """Sequential BPSK half-cycle unwrap (``rxcomplex.cpp:702-720``):
+    each valid phase is folded by 0.5-cycle steps to within 0.25 of the
+    previous accepted phase."""
+
+    def step(last, inp):
+        phi, wi = inp
+        folded = phi - 0.5 * jnp.round((phi - last) * 2.0)
+        keep = wi > 0
+        out = jnp.where(keep, folded, phi)
+        new_last = jnp.where(keep, folded, last)
+        return new_last, out
+
+    _, out = jax.lax.scan(step, last_phi0, (res_phi, w))
+    return out
+
+
+class Receiver:
+    """File-level multi-channel receiver (one second of IQ at a time)."""
+
+    def __init__(self, channels: list[ChannelConfig], fs: float = 5e6):
+        self.fs = fs
+        self.channels = [build_channel(c, fs) for c in channels]
+        self.states = [TrackState(fc=c.fc_init_hz) for c in channels]
+        self._wav_lags: dict[int, jnp.ndarray] = {}
+        self.log: list[str] = []
+
+    def _lag_matrix(self, i: int) -> jnp.ndarray:
+        if i not in self._wav_lags:
+            ch = self.channels[i]
+            lags = np.arange(-ch.cfg.nlag, ch.cfg.nlag + 1)
+            w = np.stack([np.roll(ch.wav, lag) for lag in lags], axis=1)
+            self._wav_lags[i] = jnp.asarray(w)
+        return self._wav_lags[i]
+
+    # ------------------------------------------------------------------
+    def process_second(self, iq_by_phys: dict[str, np.ndarray]) -> list[SecondReport | None]:
+        """Process one second of samples for every channel.
+
+        ``iq_by_phys``: physical channel name -> complex array of at least
+        fs samples (+ one code period of lookahead recommended).
+        """
+        reports: list[SecondReport | None] = []
+        for i, (ch, st) in enumerate(zip(self.channels, self.states)):
+            smp = iq_by_phys.get(ch.cfg.physical)
+            if smp is None:
+                reports.append(None)
+                continue
+            if not st.is_trk:
+                reports.append(self._acquire(i, smp))
+            else:
+                reports.append(self._track(i, smp))
+        return reports
+
+    # ------------------------------------------------------------------
+    def _acquire(self, i: int, smp: np.ndarray) -> SecondReport | None:
+        ch, st = self.channels[i], self.states[i]
+        cfg = ch.cfg
+        # one code period somewhere in the second (the reference picks a
+        # random epoch, :529; we use the middle for determinism)
+        start = (len(smp) // 2 // ch.nobs) * ch.nobs
+        d = smp[start : start + ch.nobs]
+        if len(d) < ch.nobs:
+            return None
+        res = caf_search(
+            jnp.asarray(d[None, :]),
+            jnp.asarray(ch.fcode),
+            jnp.asarray(ch.code_interp),
+            self.fs,
+            cfg.fc_init_hz - cfg.acq_range_hz,
+            cfg.fc_init_hz + cfg.acq_range_hz,
+            cfg.acq_step_hz,
+            refine=True,
+        )
+        # acquisition gate on the correlation-peak SNR (peak^2 over the
+        # correlation-floor variance), the reference's "signal exists if
+        # (1+snr_min)*pk > snr_min*px" power test (:573) mapped onto the
+        # same detection statistic claudio uses (claudio_...separate.m:42)
+        from amaranth_twstft_tpu.ops.correlator import quick_xcorr_snr
+
+        # quick_xcorr_snr takes the claudio-convention (unconjugated)
+        # code spectrum; ch.fcode is the conjugated one
+        qs = float(
+            np.asarray(
+                quick_xcorr_snr(
+                    jnp.asarray((d - d.mean())[None, :]),
+                    jnp.asarray(np.conj(ch.fcode)),
+                    jnp.asarray(np.float64(np.asarray(res.df_hz)[0])),
+                    self.fs,
+                )
+            ).ravel()[0]
+        )
+        snr_db = 10.0 * np.log10(max(qs, 1e-12))
+        pk = float(np.abs(np.asarray(res.epoch.xval)[0])) ** 2
+        if snr_db < cfg.snr_min_db:
+            self.log.append(f"acq failed  : Ch {cfg.physical} PRN{cfg.prn_id} snr={snr_db:.1f}")
+            return None
+        ind = int(np.asarray(res.epoch.indice)[0]) // 3  # non-interp grid
+        st.fc = float(np.asarray(res.df_hz)[0])
+        # fine frequency: squaring-FFT line at 2*fc over the whole second
+        # (sub-Hz, like the reference's halving-to-<1 Hz refinement,
+        # rxcomplex.cpp:560-568 — dense instead of iterative).  Required
+        # for pull-in: tracking unwraps phase only within 0.25 cycle/code.
+        from amaranth_twstft_tpu.ops.doppler import squaring_df, window_mask
+
+        nsec = (len(smp) // ch.nobs) * ch.nobs
+        span = 2.0 * max(cfg.acq_step_hz, 4.0)
+        mask = window_mask(
+            nsec, self.fs, 2 * st.fc - span, 2 * st.fc + span
+        )
+        if mask.any():
+            dsec = smp[:nsec] - smp[:nsec].mean()
+            fine, _ = squaring_df(jnp.asarray(dsec), self.fs, jnp.asarray(mask))
+            st.fc = float(np.asarray(fine))
+        st.pt = int((start + ind) % ch.nobs)
+        st.gd = st.pt * 1e9 / self.fs
+        st.is_trk = True
+        st.is_first = True
+        st.pk = pk
+        self.log.append(
+            f"acquisition : Ch {cfg.physical} PRN{cfg.prn_id} fc={st.fc:.0f} pt={st.pt}"
+        )
+        return None
+
+    # ------------------------------------------------------------------
+    def _track(self, i: int, smp: np.ndarray) -> SecondReport | None:
+        ch, st = self.channels[i], self.states[i]
+        cfg = ch.cfg
+        bps = cfg.codes_per_second
+        ncodes = bps - 1  # the reference tracks bps-1 codes (:605)
+        nlag = cfg.nlag
+        need = st.pt + ncodes * ch.nobs
+        if need > len(smp):
+            st.is_trk = False
+            return None
+
+        seg = smp[st.pt : need]
+        # carrier-phase-continuous downconversion (:592-600):
+        # phase offset phi = frac(pt * fc / fs); host float64 numpy (this
+        # is setup for the device matmul, not the hot path)
+        phi0 = np.mod(st.pt * st.fc / self.fs, 1.0)
+        n = np.arange(len(seg), dtype=np.float64)
+        lo = np.exp(-2j * np.pi * (np.mod(st.fc / self.fs * n, 1.0) + phi0))
+        obs = (seg * lo).reshape(ncodes, ch.nobs)
+        obs_ri = np.stack([obs.real, obs.imag]).astype(np.float32)
+
+        power, phase = _lag_bank_correlate(jnp.asarray(obs_ri), self._lag_matrix(i))
+        power = np.asarray(power) / ch.nobs**2 * 4  # per-sample amplitude scale
+        phase = np.asarray(phase)
+
+        pk_idx = np.argmax(power, axis=1)
+        interior = (pk_idx >= 2) & (pk_idx < 2 * nlag - 1)
+        # peak-quality gate: the winning lag must stand well above the
+        # lag-bank floor.  The reference's per-code power gate is present
+        # but commented out (rxcomplex.cpp:647 ``//&& (1+snr_min)*ps >
+        # snr_min*px``); without any quality gate a pure-noise second
+        # keeps "lock" (random peaks pass the 3-sigma spread test), so we
+        # enable the gate as a peak/median lag-power ratio.
+        floor = np.median(power, axis=1)
+        quality = power[np.arange(ncodes), pk_idx] > 10.0 * np.maximum(
+            floor, 1e-30
+        )
+        w = (interior & quality).astype(np.float64)
+
+        hrc = np.asarray(
+            hrc_correction(jnp.asarray(power), jnp.asarray(pk_idx))
+        )
+        gd_ns = (st.pt + pk_idx - nlag + hrc) * 1e9 / self.fs
+        ps = power[np.arange(ncodes), pk_idx] / max(ch.psbb, 1e-30)
+        res_phi = phase[np.arange(ncodes), pk_idx]
+
+        # median/IQR 3-sigma gate (:699-700)
+        med, sigma = median_iqr_sigma(
+            jnp.asarray(gd_ns), jnp.asarray(w)
+        )
+        med, sigma = float(med), float(sigma)
+        ok = np.abs(gd_ns - med) < max(3.0 * sigma, 1e-6)
+        w = w * ok
+
+        cnt = int(w.sum())
+        if cnt * 2 <= bps:
+            # lock lost -> reacquire next second (:775-798)
+            st.is_trk = False
+            st.last_phi = 0.0
+            self.log.append(
+                f"lock lost   : Ch {cfg.physical} PRN{cfg.prn_id} cnt={cnt}/{bps}"
+            )
+            return None
+
+        # BPSK half-cycle unwrap (:702-720)
+        res_phi = np.asarray(
+            _phase_unwrap_scan(
+                jnp.asarray(res_phi), jnp.asarray(w), jnp.float64(st.last_phi)
+            )
+        )
+        st.last_phi = float(res_phi[w > 0][-1]) if (w > 0).any() else st.last_phi
+
+        # weighted fits (:728-744)
+        ttag_phi = (np.arange(ncodes) * cfg.code_len / cfg.chip_rate) + st.pt / self.fs
+        c0p, c1p, _ = weighted_linear_fit(
+            jnp.asarray(ttag_phi), jnp.asarray(res_phi), jnp.asarray(w)
+        )
+        c0p, c1p = float(c0p), float(c1p)
+        st.fc += np.round(c1p)
+        st.df = c1p - np.round(c1p)
+        st.phi = float(np.mod(c0p + 1000.0, 1.0))
+
+        ttag_gd = np.arange(ncodes) * cfg.code_len / cfg.chip_rate
+        c0g, c1g, chi2 = weighted_linear_fit(
+            jnp.asarray(ttag_gd), jnp.asarray(gd_ns), jnp.asarray(w)
+        )
+        c0g, c1g = float(c0g), float(c1g)
+        st.sdgd = float(np.sqrt(max(float(chi2), 0.0) / max(cnt, 1)))
+        st.gd = c0g + 0.5 * c1g
+        st.dg = c1g
+        st.pt_prev = st.pt
+        st.pt = int(np.round((c0g + c1g) * self.fs / 1e9))
+        st.pk = float(np.mean(ps[w > 0])) if (w > 0).any() else 0.0
+
+        first = st.is_first
+        st.is_first = False
+        if first:
+            self.log.append(
+                f"code lock   : Ch {cfg.physical} PRN{cfg.prn_id} cnt={cnt}/{bps}"
+            )
+            return None
+        px = float(np.mean(np.abs(smp[: int(self.fs)]) ** 2))
+        return SecondReport(
+            fc_hz=st.fc + st.df,
+            phi_cycles=st.phi,
+            cnt=cnt,
+            gd_ns=st.gd,
+            dg_ns_per_s=st.dg,
+            sdgd_ns=st.sdgd,
+            pk_dbm=_v2_to_dbm(st.pk),
+            pnoise_dbm=_v2_to_dbm(max(px - st.pk, 1e-30)),
+            locked=True,
+        )

@@ -1,0 +1,310 @@
+"""Two-way solver: from per-epoch archives to clock-offset products.
+
+The TWSTFT observable: with ``lo`` = loopback delay and ``re`` = remote
+(one-way) delay at each site,
+
+    tw = 0.5 * ((OPre - OPlo) - (LTFBre - LTFBlo))
+
+(``acquisition/go_1s.m:192``, ``processing/Octave/tw.m:37``,
+``experiments/230315_analysis_100k/README.md:14-16``).  This module
+implements the production robustness policies as explicit, tested
+functions rather than the reference's scattered in-script patches
+(SURVEY.md §7.3 "Ambiguity handling"):
+
+- peak-amplitude gating: keep epochs with |xval| > max/2, drop the first
+  11 codes, truncate at the first gap (``go_1s.m:80-91,109-118``),
+- loopback sample-loss trim: cut at the first >2 ns jump (``go_1s.m:94-101``),
+- SNR gating: keep rows within 10 dB of max (``gofinal_ltfb.m:52``,
+  ``tw.m:31-34``),
+- outlier NaN-ing: |res - median| > 5 ns (``go_1s.m:193-194``),
+- the 200 ns sample ambiguity: fold residuals exceeding median +/- 10 ns
+  by one interpolated-sample period 200/(2N+1) ns (``go_1s.m:207-211``),
+- 1 s wraparound: add 1 s when the re-lo mean goes negative (``tw.m:35-36``),
+- products: per-second linear-fit midpoints (``go_1s.m:251-268``),
+  25-point sliding means (``go_1s.m:269-274``), dominant-spectral-line
+  notch (``go_1s.m:279-290``), all MJD-stamped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from amaranth_twstft_tpu.utils.mjd import mjd_from_unix
+
+__all__ = [
+    "GatingPolicy",
+    "gate_epochs",
+    "trim_sample_loss",
+    "snr_gate",
+    "fold_sample_ambiguity",
+    "twoway_residual",
+    "one_second_products",
+    "sliding_mean",
+    "notch_dominant_line",
+    "TwoWaySolution",
+    "solve_session",
+]
+
+
+@dataclass(frozen=True)
+class GatingPolicy:
+    """All numeric policies of the production chain, in one place."""
+
+    amplitude_ratio: float = 0.5  # |xval| > max/2 (go_1s.m:80)
+    drop_first: int = 11  # first 275 ms (go_1s.m:86)
+    loopback_jump_ns: float = 2.0  # sample-loss jump (go_1s.m:94)
+    outlier_ns: float = 5.0  # median outlier NaN gate (go_1s.m:193)
+    flag_ns: float = 3.0  # "PROBLEM NG" flag level (go_1s.m:235)
+    snr_window_db: float = 10.0  # max(SNR)-10 keep (gofinal_ltfb.m:52)
+    ambiguity_ns: float = 200.0 / 3.0  # one interpolated sample, N=1
+    ambiguity_gate_ns: float = 10.0  # fold gate (go_1s.m:207-211)
+    codes_per_second: int = 25
+
+
+def gate_epochs(xval: np.ndarray, policy: GatingPolicy = GatingPolicy()):
+    """Indices of usable epochs: |xval| above half the peak, first 11
+    dropped, truncated at the first gap (``go_1s.m:80-91``)."""
+    mag = np.abs(xval)
+    k = np.flatnonzero(mag > mag.max() * policy.amplitude_ratio)
+    if len(k) == 0:
+        return k
+    gaps = np.flatnonzero(np.diff(k) > 1)
+    if len(gaps):
+        k = k[policy.drop_first : gaps[0] + 1]
+    else:
+        k = k[policy.drop_first : -1] if len(k) > policy.drop_first else k[:0]
+    return k
+
+
+def trim_sample_loss(delay_ns: np.ndarray,
+                     policy: GatingPolicy = GatingPolicy()) -> np.ndarray:
+    """Cut the series at the first loopback jump > 2 ns (``go_1s.m:94-101``)."""
+    jumps = np.flatnonzero(np.abs(np.diff(delay_ns)) > policy.loopback_jump_ns)
+    if len(jumps) and jumps[0] > 0:
+        return delay_ns[: jumps[0]]
+    return delay_ns
+
+
+def snr_gate(snr_db: np.ndarray, policy: GatingPolicy = GatingPolicy()):
+    """Rows within ``snr_window_db`` of the max (``gofinal_ltfb.m:52``)."""
+    return np.flatnonzero(snr_db > snr_db.max() - policy.snr_window_db)
+
+
+def fold_sample_ambiguity(res_ns: np.ndarray,
+                          policy: GatingPolicy = GatingPolicy()) -> np.ndarray:
+    """Fold residuals escaping by one interpolated-sample period.
+
+    ``res(res > median+10) -= 200/(2N+1); res(res < median-10) += ...``
+    (``go_1s.m:207-211``; the reference's second ``ki`` uses ``>`` by
+    typo — the intended symmetric fold is implemented here and flagged
+    as a deliberate deviation).
+    """
+    res = res_ns.copy()
+    med = np.nanmedian(res)
+    res[res > med + policy.ambiguity_gate_ns] -= policy.ambiguity_ns
+    res[res < med - policy.ambiguity_gate_ns] += policy.ambiguity_ns
+    return res
+
+
+def twoway_residual(
+    op_re: np.ndarray,
+    op_lo: np.ndarray,
+    lt_re: np.ndarray,
+    lt_lo: np.ndarray,
+    policy: GatingPolicy = GatingPolicy(),
+) -> np.ndarray:
+    """``res = 0.5*((opre-oplo)-(ltre-ltlo))`` with median-outlier NaN-ing
+    (``go_1s.m:192-194``).  Inputs in ns, equal length."""
+    res = 0.5 * ((op_re - op_lo) - (lt_re - lt_lo))
+    bad = np.abs(res - np.nanmedian(res)) > policy.outlier_ns
+    res = res.copy()
+    res[bad] = np.nan
+    return res
+
+
+def sliding_mean(x: np.ndarray, n: int = 25) -> np.ndarray:
+    """25-point (1 s) sliding mean, trimmed like ``conv(...)(25:end-25)``
+    (``go_1s.m:269-274``)."""
+    c = np.convolve(x, np.ones(n) / n, mode="full")
+    return c[n - 1 : -n]
+
+
+def notch_dominant_line(res: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Remove the dominant spectral line of the residual (``go_1s.m:279-290``).
+
+    Returns (filtered, line_bin, line_amplitude); the line position is the
+    argmax of the positive-frequency half (bounded to 400 bins like the
+    reference), and 3 bins around it are zeroed.
+    """
+    n = len(res)
+    base = res - res.mean()
+    spec = np.fft.fftshift(np.fft.fft(base))
+    half = n // 2
+    hi = min(half + 400, n) if n > 800 else n
+    seg = np.abs(spec[half:hi])
+    k = int(np.argmax(seg))
+    amp = float(seg[k])
+    spec2 = np.fft.fftshift(np.fft.fft(res))
+    lo = half - 2 + k
+    spec2[max(lo, 0) : half + k + 1] = 0
+    filtered = np.real(np.fft.ifft(np.fft.ifftshift(spec2)))
+    return filtered, float(k), amp
+
+
+def one_second_products(
+    mjd0: float,
+    op_lo: np.ndarray,
+    op_re: np.ndarray,
+    lt_lo: np.ndarray,
+    lt_re: np.ndarray,
+    codes_per_second: int = 25,
+) -> np.ndarray:
+    """Per-second linear-fit midpoints, MJD-stamped (``go_1s.m:251-268``).
+
+    Returns rows [mjd, oplo, opre, ltlo, ltre] (ns), one per full second.
+    """
+    n = codes_per_second
+    rows = []
+    cpt = 0
+    for k in range(0, len(op_re) - n, n):
+        t = (np.arange(k, k + n)) / n
+        row = [mjd0 + cpt / 86400.0]
+        for series in (op_lo, op_re, lt_lo, lt_re):
+            seg = series[k : k + n]
+            good = ~np.isnan(seg)
+            if good.sum() < 2:
+                row.append(np.nan)
+                continue
+            a, b = np.polyfit(t[good], seg[good], 1)
+            row.append(a * t[n // 2] + b)  # midpoint value (go_1s.m:260)
+        rows.append(row)
+        cpt += 1
+    return np.asarray(rows)
+
+
+@dataclass
+class TwoWaySolution:
+    """One session's two-way products."""
+
+    res_ns: np.ndarray  # per-code residual, NaN-gated
+    res_mean: float
+    res_std: float
+    res25_mean: float
+    res25_std: float
+    mjd: float
+    n_flagged: int  # |res-mean| > 3 ns count (go_1s.m:235-238)
+    one_second: np.ndarray  # rows [mjd, oplo, opre, ltlo, ltre]
+    filtered_std: float  # after dominant-line notch
+
+
+def solve_session(
+    op_lo_ns: np.ndarray,
+    op_re_ns: np.ndarray,
+    lt_lo_ns: np.ndarray,
+    lt_re_ns: np.ndarray,
+    capture_end_unix: float,
+    policy: GatingPolicy = GatingPolicy(),
+) -> TwoWaySolution:
+    """Full go_1s-style solve of one session (inputs already gated, in ns,
+    equal sampling; lengths are truncated to the common minimum like
+    ``go_1s.m:176-182``)."""
+    n = min(map(len, (op_lo_ns, op_re_ns, lt_lo_ns, lt_re_ns)))
+    op_lo, op_re = op_lo_ns[:n], op_re_ns[:n]
+    lt_lo, lt_re = lt_lo_ns[:n], lt_re_ns[:n]
+
+    res = twoway_residual(op_re, op_lo, lt_re, lt_lo, policy)
+    res = fold_sample_ambiguity(res, policy)
+    flagged = int(np.sum(np.abs(res - np.nanmean(res)) > policy.flag_ns))
+
+    res25 = sliding_mean(np.nan_to_num(res, nan=np.nanmean(res)),
+                         policy.codes_per_second)
+    mjd0 = mjd_from_unix(capture_end_unix) - n / policy.codes_per_second / 86400.0
+    one_s = one_second_products(
+        mjd0, op_lo, op_re, lt_lo, lt_re, policy.codes_per_second
+    )
+    if n > 50:
+        filtered, _, _ = notch_dominant_line(
+            np.nan_to_num(res, nan=np.nanmean(res))
+        )
+        fstd = float(np.std(filtered))
+    else:
+        fstd = float(np.nanstd(res))
+    return TwoWaySolution(
+        res_ns=res,
+        res_mean=float(np.nanmean(res)),
+        res_std=float(np.nanstd(res)),
+        res25_mean=float(np.mean(res25)) if len(res25) else float("nan"),
+        res25_std=float(np.std(res25)) if len(res25) else float("nan"),
+        mjd=mjd0,
+        n_flagged=flagged,
+        one_second=one_s,
+        filtered_std=fstd,
+    )
+
+
+# ----------------------------------------------------------------------
+# tw.m daily pairing (text-file level)
+# ----------------------------------------------------------------------
+def pair_and_solve_daily(
+    op_rows: np.ndarray,
+    lt_rows: np.ndarray,
+    policy: GatingPolicy = GatingPolicy(),
+) -> dict:
+    """The archived daily solver on gofinal-format row tables.
+
+    Rows: [y m d h m s, delay_lo, df1, SNR1, delay_lo2, df2, SNR2,
+    delay_re, df1rem, SNR1rem] — columns 10/13 (1-based) are the local
+    and remote delays (``tw.m:35-37``), column 9 the gating SNR.
+
+    Implements integer-second alignment by the (month*31+day)*86400-ish
+    pseudo-time of ``tw.m:16-28``, SNR trimming, the +1 s wraparound fix
+    and the residual statistics.
+    """
+    def pseudo_t(rows):
+        return (
+            ((rows[:, 1] * 31 + rows[:, 2]) * 24 + rows[:, 3] * 60)
+            + rows[:, 4] * 60
+            + rows[:, 5]
+        )
+
+    top, tlt = pseudo_t(op_rows), pseudo_t(lt_rows)
+    if top[0] > tlt[0]:
+        diff = int(top[0] - tlt[0])
+        lt_rows = lt_rows[diff:]
+        m = min(len(op_rows), len(lt_rows))
+        op_rows, lt_rows = op_rows[:m], lt_rows[:m]
+    else:
+        diff = int(tlt[0] - top[0])
+        op_rows = op_rows[diff:]
+        m = min(len(op_rows), len(lt_rows))
+        op_rows, lt_rows = op_rows[:m], lt_rows[:m]
+    if diff >= 180:
+        return {"ok": False, "reason": f"time offset {diff} s too large"}
+
+    # SNR criterion on col 9 (0-based 8), both stations (tw.m:31-34)
+    for rows_pair in range(2):
+        rows = (lt_rows, op_rows)[rows_pair]
+        k = np.flatnonzero(rows[:, 8] > rows[:, 8].max() - policy.snr_window_db)
+        if len(k) < 3:
+            return {"ok": False, "reason": "SNR gate removed everything"}
+        sl = slice(k[0] + 1, k[-1])
+        lt_rows, op_rows = lt_rows[sl], op_rows[sl]
+
+    lt_lo, lt_re = lt_rows[:, 9].copy(), lt_rows[:, 12].copy()
+    op_lo, op_re = op_rows[:, 9].copy(), op_rows[:, 12].copy()
+    # 1-s wraparound (tw.m:35-36)
+    if np.mean(lt_lo - lt_re) < 0:
+        lt_lo += 1.0
+    if np.mean(op_lo - op_re) < 0:
+        op_lo += 1.0
+    res = 0.5 * ((lt_lo - lt_re) - (op_lo - op_re))
+    keep = np.abs(res) < 1e-6  # seconds (tw.m:38)
+    res = res[keep] * 1e9
+    return {
+        "ok": True,
+        "res_ns": res,
+        "mean_ns": float(np.mean(res)) if len(res) else float("nan"),
+        "std_ns": float(np.std(res)) if len(res) else float("nan"),
+    }

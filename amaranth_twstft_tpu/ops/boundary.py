@@ -1,0 +1,168 @@
+"""TPU-safe program boundaries: real-valued I/O around complex kernels.
+
+The axon-relayed TPU in the target deployment cannot move complex buffers
+across program boundaries (h2d/d2h of complex, or fetching outputs of
+complex-input programs, fails UNIMPLEMENTED).  Complex arithmetic *inside*
+a jitted program is fully supported.  Every function here therefore takes
+IQ as ``float32 (..., 2)`` / split re-im pairs and returns only real and
+integer arrays; the complex work happens inside one fused program — which
+is also simply good TPU practice (one compiled program per batch, no
+boundary materialization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amaranth_twstft_tpu.ops.correlator import correlate_epochs
+from amaranth_twstft_tpu.ops.doppler import squaring_df
+
+__all__ = [
+    "pack_complex",
+    "unpack_complex",
+    "RangingOutputs",
+    "ranging_step",
+    "make_ranging_step",
+]
+
+
+def pack_complex(z: np.ndarray) -> np.ndarray:
+    """complex (host) -> float32 (..., 2) for boundary crossing."""
+    out = np.empty(z.shape + (2,), dtype=np.float32)
+    out[..., 0] = np.real(z)
+    out[..., 1] = np.imag(z)
+    return out
+
+
+def unpack_complex(ri: np.ndarray) -> np.ndarray:
+    """float (..., 2) (host) -> complex."""
+    return np.asarray(ri[..., 0]) + 1j * np.asarray(ri[..., 1])
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RangingOutputs:
+    """All-real per-epoch outputs (safe to fetch from the TPU)."""
+
+    indice: jax.Array  # int32
+    correction: jax.Array
+    df: jax.Array
+    snr_r: jax.Array
+    snr_i: jax.Array
+    puissance: jax.Array
+    puissance_code: jax.Array
+    puissance_noise: jax.Array
+    xval_ri: jax.Array  # (..., 3, 2): [m1, 0, p1] x [re, im]
+
+    def delay_samples(self, interp_factor: int = 3) -> np.ndarray:
+        return (np.asarray(self.indice) + np.asarray(self.correction)) / interp_factor
+
+    def xval(self) -> np.ndarray:
+        ri = np.asarray(self.xval_ri)
+        return ri[..., 1, 0] + 1j * ri[..., 1, 1]
+
+    def snr_db(self) -> np.ndarray:
+        return 10.0 * np.log10(np.asarray(self.snr_r) + np.asarray(self.snr_i))
+
+
+@partial(jax.jit, static_argnames=("fs", "nint", "conjugate_data", "use_mask"))
+def ranging_step(
+    iq: jax.Array,
+    fcode_ri: jax.Array,
+    code_interp: jax.Array,
+    mask: jax.Array,
+    df_fixed: jax.Array,
+    fs: float,
+    nint: int = 1,
+    conjugate_data: bool = False,
+    use_mask: bool = True,
+    fcode_interp_ri: jax.Array | None = None,
+) -> RangingOutputs:
+    """One fused program: IQ f32 (B, L, 2) -> per-epoch estimates (real).
+
+    ``use_mask=True``: per-epoch squaring-FFT df inside ``mask`` (the
+    godual chain); ``False``: use ``df_fixed`` (broadcast) — the C++
+    chain's fixed per-file df.  ``fcode_ri`` is the replica spectrum as
+    (L, 2) float; ``fcode_interp_ri`` the conjugated interpolated-code
+    spectrum ((2*nint+1)*L, 2) for the SNR identity.
+    """
+    d = jax.lax.complex(iq[..., 0], iq[..., 1])
+    fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
+    fcode3 = None
+    if fcode_interp_ri is not None:
+        fcode3 = jax.lax.complex(fcode_interp_ri[..., 0], fcode_interp_ri[..., 1])
+    if use_mask:
+        df, _ = squaring_df(d - jnp.mean(d, axis=-1, keepdims=True), fs, mask)
+    else:
+        df = jnp.broadcast_to(df_fixed, d.shape[:-1])
+    res = correlate_epochs(
+        d,
+        fcode,
+        df.astype(iq.dtype),
+        code_interp,
+        fs,
+        nint=nint,
+        conjugate_data=conjugate_data,
+        fcode_interp=fcode3,
+    )
+    xval_ri = jnp.stack(
+        [
+            jnp.stack([jnp.real(res.xvalm1), jnp.imag(res.xvalm1)], axis=-1),
+            jnp.stack([jnp.real(res.xval), jnp.imag(res.xval)], axis=-1),
+            jnp.stack([jnp.real(res.xvalp1), jnp.imag(res.xvalp1)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return RangingOutputs(
+        indice=res.indice,
+        correction=res.correction,
+        df=df,
+        snr_r=res.snr_r,
+        snr_i=res.snr_i,
+        puissance=res.puissance,
+        puissance_code=res.puissance_code,
+        puissance_noise=res.puissance_noise,
+        xval_ri=xval_ri,
+    )
+
+
+def make_ranging_step(
+    fcode: np.ndarray,
+    code_interp: np.ndarray,
+    mask: np.ndarray,
+    fs: float,
+    nint: int = 1,
+    conjugate_data: bool = False,
+):
+    """Bind replica/mask once; return ``step(iq_f32, df_fixed=None)``.
+
+    The bound arrays are uploaded as real buffers; callers feed
+    ``pack_complex``-ed IQ and read back :class:`RangingOutputs`.
+    """
+    fcode_ri = jnp.asarray(pack_complex(np.asarray(fcode)))
+    code3_np = np.asarray(code_interp, dtype=np.float64)
+    code3 = jnp.asarray(code3_np.astype(np.float32))
+    fcode3_ri = jnp.asarray(
+        pack_complex(np.conj(np.fft.fft(code3_np)).astype(np.complex64))
+    )
+    mask_j = jnp.asarray(np.asarray(mask))
+
+    def step(iq: jax.Array, df_fixed=None) -> RangingOutputs:
+        if df_fixed is None:
+            return ranging_step(
+                iq, fcode_ri, code3, mask_j, jnp.float32(0.0), fs,
+                nint=nint, conjugate_data=conjugate_data, use_mask=True,
+                fcode_interp_ri=fcode3_ri,
+            )
+        return ranging_step(
+            iq, fcode_ri, code3, mask_j, jnp.asarray(df_fixed, jnp.float32),
+            fs, nint=nint, conjugate_data=conjugate_data, use_mask=False,
+            fcode_interp_ri=fcode3_ri,
+        )
+
+    return step

@@ -83,6 +83,7 @@ def correlate_epochs(
     conjugate_data: bool = False,
     compute_snr: bool = True,
     remove_mean: bool = True,
+    fcode_interp: jax.Array | None = None,
 ) -> EpochResult:
     """Correlate a batch of epochs against the code spectrum.
 
@@ -128,24 +129,32 @@ def correlate_epochs(
     puissance = jnp.mean(jnp.abs(ym) ** 2, axis=-1)
 
     if compute_snr:
-        yint = jnp.fft.ifft(spectral_zoom(ffty, nint), axis=-1)
-        # Circular left-rotation by (indice - 1): Octave
-        # ``[yint(indice-1:end); yint(1:indice-2)]`` with 1-based indice
-        # (``godual_ranging.m:43``) == C++ ``std::rotate(begin, begin +
-        # indice - 1, end)`` with 0-based indice (``main.cpp:332``).
-        M = yint.shape[-1]
-        k = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        idx = jnp.mod(k[None, ...] + (indice[..., None] - 1), M)
-        rolled = jnp.take_along_axis(
-            jnp.reshape(yint, (-1, M)),
-            jnp.reshape(idx, (-1, M)),
-            axis=-1,
-        ).reshape(yint.shape)
-        yincode = rolled * code_interp.astype(dtype)
-        mu = jnp.mean(yincode, axis=-1)
-        var = jnp.mean(
-            jnp.abs(yincode - mu[..., None]) ** 2, axis=-1
+        # Reference semantics: interpolate y to the 3x grid, rotate it to
+        # code alignment (godual LEFT by indice-1, ``godual_ranging.m:43``,
+        # ``main.cpp:332``; claudio rotates the code instead,
+        # ``claudio_...separate.m:91``), multiply by the +/-1 replica and
+        # take mean/var.  TPU-first identity (no 30M-element gather):
+        #   mean(yint[(n+s) mod M] * code3[n])
+        #     = ifft(zoom(ffty) * conj(fft(code3)))[s] / M
+        # and, since code3^2 == 1 and zero-padding preserves energy,
+        #   mean|yincode|^2 = sum|ffty|^2 / M^2,
+        # so var = mean|yincode|^2 - |mean|^2 exactly.  Both conventions
+        # align at a signal left-rotation: s = indice - 1 (godual) or
+        # s = -(indice + 1) mod M (claudio).
+        M = (2 * nint + 1) * L
+        if fcode_interp is None:
+            fcode_interp = jnp.conj(jnp.fft.fft(code_interp.astype(dtype)))
+        zc = jnp.fft.ifft(
+            spectral_zoom(ffty, nint) * fcode_interp.astype(dtype), axis=-1
         )
+        if conjugate_data:
+            s = jnp.mod(-(indice + 1), M)
+        else:
+            s = jnp.mod(indice - 1, M)
+        mu = jnp.take_along_axis(zc, s[..., None].astype(jnp.int32), -1)[..., 0]
+        mu = mu / float(M)
+        mean_abs2 = jnp.sum(jnp.abs(ffty) ** 2, axis=-1) / float(M) ** 2
+        var = mean_abs2 - jnp.abs(mu) ** 2
         safe_var = jnp.where(var == 0, 1.0, var)
         snr_r = jnp.real(mu) ** 2 / safe_var
         snr_i = jnp.imag(mu) ** 2 / safe_var

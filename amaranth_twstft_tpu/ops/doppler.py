@@ -56,7 +56,10 @@ def squaring_spectrum(d: jax.Array) -> jax.Array:
 
 @jax.jit
 def _masked_argmax(x: jax.Array, mask: jax.Array):
-    neg = jnp.asarray(-jnp.inf, x.dtype)
+    # finite sentinel: +/-inf constants trigger a pathological (~200x
+    # slower) compile path on the TPU backend; finfo.min is equivalent
+    # for an argmax over magnitudes (all >= 0)
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
     xm = jnp.where(mask, x, neg)
     return jnp.argmax(xm, axis=-1)
 
@@ -130,7 +133,7 @@ def _search_df_jit(
     # above threshold (the reference iterates all of them and keeps the
     # *last* passing candidate, ``claudio_...separate.m:33-44``; we keep the
     # highest-index passing candidate to match).
-    score = jnp.where(above, d2, -jnp.inf)
+    score = jnp.where(above, d2, jnp.finfo(d2.dtype).min)
     cand_idx = jax.lax.top_k(score, max_candidates)[1]
     cand_valid = jnp.take(above, cand_idx)
     cand_df = jnp.take(freq, cand_idx) / 2.0

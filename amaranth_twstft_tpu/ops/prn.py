@@ -65,13 +65,16 @@ def code_spectrum(
     does (``main.cpp:717-719``) — note this weights the band edges around
     +/-fs/2 up and DC down; the quirk is preserved deliberately for
     numerical parity with the C producer.
+
+    Computed on host (NumPy): replica construction is one-time setup, and
+    complex arrays must not cross the device boundary on the axon TPU
+    (see ``ops/boundary.py``).
     """
-    f = jnp.fft.fft(jnp.asarray(code_pm1) + 0j)
+    f = np.fft.fft(np.asarray(code_pm1).astype(np.float64))
     if conj:
-        f = jnp.conj(f)
+        f = np.conj(f)
     if hamming_window:
-        w = jnp.asarray(hamming(int(f.shape[-1])), dtype=f.real.dtype)
-        f = f * w
+        f = f * hamming(len(f))
     return f
 
 

@@ -1,0 +1,143 @@
+"""Sharded CAF ranging: time-block x Doppler-hypothesis mesh execution.
+
+One ``shard_map``-ped step subsumes the reference's whole concurrency
+inventory (SURVEY.md §2.6):
+
+- each ``time`` shard holds one contiguous block of epochs; the
+  overlap-save halo (first samples of the *next* block) arrives via
+  ``lax.ppermute`` — mathematically the ``dold`` carry buffer of
+  ``claudio_...separate.m:167,196-200`` turned into a collective,
+- each ``channel`` shard evaluates a slice of the Doppler grid (the
+  DLL/PLL per-channel loop, ``rxcomplex.cpp:466-799``); the winning
+  hypothesis is chosen by an ``all_gather`` peak reduction (replacing the
+  per-thread argmax + semaphore join of ``processing/CPP/main.cpp:488-497``),
+- the final correlation at the winning frequency runs redundantly on every
+  channel shard (cheaper than a broadcast round-trip at these sizes).
+
+Results are identical at any shard count — asserted by
+``tests/test_sharded.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from amaranth_twstft_tpu.ops.caf import caf_peaks
+from amaranth_twstft_tpu.ops.correlator import correlate_epochs
+
+__all__ = ["make_sharded_caf_step", "shard_blocks"]
+
+
+def shard_blocks(mesh: Mesh, blocks, offsets, fcode, code_interp, shifts):
+    """Device-put the step inputs with their intended shardings.
+
+    The Doppler grid is padded (by repeating its last hypothesis) to a
+    multiple of the channel-axis size — duplicate hypotheses are harmless
+    in an argmax reduction.
+    """
+    t, c = mesh.axis_names
+    n_c = mesh.shape[c]
+    pad = (-shifts.shape[0]) % n_c
+    if pad:
+        shifts = jnp.concatenate([shifts, jnp.repeat(shifts[-1:], pad)])
+    put = jax.device_put
+    return (
+        put(blocks, NamedSharding(mesh, P(t, None))),
+        put(offsets, NamedSharding(mesh, P(t))),
+        put(fcode, NamedSharding(mesh, P())),
+        put(code_interp, NamedSharding(mesh, P())),
+        put(shifts, NamedSharding(mesh, P(c))),
+    )
+
+
+def make_sharded_caf_step(
+    mesh: Mesh,
+    fs: float,
+    L: int,
+    epochs_per_block: int,
+    halo: int,
+    *,
+    nint: int = 1,
+    caf_chunk: int = 4,
+):
+    """Build the jitted sharded step.
+
+    Returns ``step(blocks, offsets, fcode, code_interp, shifts)`` where
+
+    - ``blocks``: (n_time, epochs_per_block*L + halo) complex — contiguous
+      stream blocks, each already carrying ``halo`` trailing samples of
+      the next block *on host* OR zeros (the step re-fetches the halo via
+      ppermute regardless, so callers may pass zeros in the halo region),
+    - ``offsets``: (n_time,) int32 in [0, halo) — per-block epoch start
+      (the slip re-seek state, ``claudio_...separate.m:180-186``),
+    - ``shifts``: (n_hyp,) int32 Doppler spectrum-roll hypotheses,
+
+    and returns per-epoch arrays of shape (n_time, epochs_per_block):
+    ``delay_samples`` (on the fs grid, interpolated), ``df_hz``,
+    ``peak_power``, ``snr_db``, ``xval``.
+    """
+    t_axis, c_axis = mesh.axis_names
+    n_time = mesh.shape[t_axis]
+    block_len = epochs_per_block * L
+
+    def local_step(blocks_l, offsets_l, fcode_l, code3_l, shifts_l):
+        # shapes: blocks_l (1, block_len+halo), offsets_l (1,),
+        # shifts_l (n_hyp_local,)
+        block = blocks_l[0]
+        off = offsets_l[0]
+
+        # ---- overlap-save halo exchange (the `dold` carry) ----------
+        perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+        halo_recv = jax.lax.ppermute(
+            block[:halo][None], t_axis, perm=perm
+        )[0]
+        ext = jnp.concatenate([block[:block_len], halo_recv])
+
+        # ---- epoch extraction at the slip offset --------------------
+        d = jax.lax.dynamic_slice(ext, (off,), (block_len,)).reshape(
+            epochs_per_block, L
+        )
+
+        # ---- local Doppler slice of the CAF -------------------------
+        peaks = caf_peaks(d, fcode_l, shifts_l, chunk=caf_chunk)
+        h_loc = jnp.argmax(peaks.power, axis=-1)  # (B,)
+        p_loc = jnp.take_along_axis(peaks.power, h_loc[..., None], -1)[..., 0]
+        f_loc = (
+            jnp.take(shifts_l, h_loc).astype(p_loc.dtype) * (fs / L)
+        )
+
+        # ---- collective peak reduction over the channel axis --------
+        p_all = jax.lax.all_gather(p_loc, c_axis)  # (n_ch, B)
+        f_all = jax.lax.all_gather(f_loc, c_axis)
+        win = jnp.argmax(p_all, axis=0)  # (B,)
+        best_p = jnp.take_along_axis(p_all, win[None], 0)[0]
+        best_f = jnp.take_along_axis(f_all, win[None], 0)[0]
+
+        # ---- full correlation at the winning frequency --------------
+        res = correlate_epochs(
+            d, fcode_l, best_f, code3_l, fs, nint=nint
+        )
+        delay = (res.indice + res.correction) / (2 * nint + 1)
+        return (
+            delay[None],
+            best_f[None],
+            best_p[None],
+            res.snr_db[None],
+            res.xval[None],
+        )
+
+    in_specs = (P(t_axis, None), P(t_axis), P(), P(), P(c_axis))
+    out_specs = (P(t_axis, None),) * 5
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(step)

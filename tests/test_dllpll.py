@@ -1,0 +1,105 @@
+"""DLL/PLL receiver: acquisition, lock, tracking accuracy, loss/reacq."""
+
+import numpy as np
+import pytest
+
+from amaranth_twstft_tpu.config import SignalConfig
+from amaranth_twstft_tpu.models.dllpll import (
+    ChannelConfig,
+    Receiver,
+    parse_sdr_param,
+)
+from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+
+
+def small_chan(prn_taps, fc=0.0, **kw):
+    return ChannelConfig(
+        physical="A",
+        prn_id=100,
+        bit_len=10,
+        taps=prn_taps,
+        fc_init_hz=fc,
+        chip_rate=5e4,
+        code_len=1000,
+        filter_hz=5e4,
+        acq_range_hz=500.0,
+        acq_step_hz=50.0,
+        snr_min_db=20.0,
+        nlag=8,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def two_prn_capture(small_cfg):
+    """Two co-channel PRNs (taps 9 and 27) with distinct delays/Dopplers —
+    the multi-PRN multi-channel scenario (BASELINE config[4])."""
+    import dataclasses
+
+    cfg_b = dataclasses.replace(small_cfg, taps=27)
+    streams = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=137.0, doppler_hz=120.0, amplitude=900,
+                    noise_sigma=120)],
+        n_seconds=5,
+        seed=17,
+        extra_emissions=[
+            (cfg_b, ChannelSim(delay_samples=555.0, doppler_hz=-210.0,
+                               amplitude=900, noise_sigma=0.0))
+        ],
+    )
+    return streams[0]
+
+
+def test_parse_sdr_param():
+    text = """# ch sic prn fc kcps flt frange fstep snr
+A N 101 0 2500 2500 4000 100 7
+B N 102 -1000 2500 2500 4000 100 7
+"""
+    chans = parse_sdr_param(text)
+    assert len(chans) == 2
+    assert chans[0].physical == "A" and chans[1].fc_init_hz == -1000.0
+
+
+def test_acquire_and_track_two_prns(small_cfg, two_prn_capture):
+    fs = int(small_cfg.fs)
+    rx = Receiver([small_chan(9), small_chan(27)], fs=small_cfg.fs)
+    stream = two_prn_capture
+    reports = []
+    for s in range(4):
+        seg = stream[s * fs : (s + 1) * fs + 2 * small_cfg.samples_per_code]
+        reports.append(rx.process_second({"A": seg}))
+    # second 0: acquisition; second 1: first lock; seconds 2+: reports
+    r_a = reports[3][0]
+    r_b = reports[3][1]
+    assert r_a is not None and r_a.locked
+    assert r_b is not None and r_b.locked
+    # carrier frequency recovered within ~1 Hz
+    assert abs(r_a.fc_hz - 120.0) < 1.0, r_a.fc_hz
+    assert abs(r_b.fc_hz - (-210.0)) < 1.0, r_b.fc_hz
+    # code phase (ns) near the injected delays (1 sample = 1e4 ns here)
+    assert abs(r_a.gd_ns - 137.0 * 1e9 / small_cfg.fs) < 2e3, r_a.gd_ns
+    assert abs(r_b.gd_ns - 555.0 * 1e9 / small_cfg.fs) < 2e3, r_b.gd_ns
+    assert r_a.cnt > 25  # most of the 49 tracked codes valid
+
+
+def test_lock_loss_on_signal_drop(small_cfg):
+    fs = int(small_cfg.fs)
+    (stream,) = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=60.0, doppler_hz=80.0, amplitude=1200,
+                    noise_sigma=100)],
+        n_seconds=3,
+        seed=4,
+    )
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 100, 2 * fs) + 1j * rng.normal(0, 100, 2 * fs)
+    rx = Receiver([small_chan(9)], fs=small_cfg.fs)
+    L = small_cfg.samples_per_code
+    rx.process_second({"A": stream[: fs + 2 * L]})  # acquire
+    assert rx.states[0].is_trk
+    rx.process_second({"A": stream[fs : 2 * fs + 2 * L]})  # first lock
+    # now feed pure noise -> lock lost
+    rx.process_second({"A": noise[: fs + 2 * L]})
+    assert not rx.states[0].is_trk
+    assert any("lock lost" in line for line in rx.log)
