@@ -1,0 +1,309 @@
+"""Command-line interface — every reference CLI, one entry point.
+
+Subcommands mirror the reference's executables (SURVEY.md §1 layer map):
+
+- ``prn``        — PRN code file generation / taps search
+  (``common.write_prn_seq``, ``tools/mseq_calculator.c``,
+  ``twstft_config.py --prn``),
+- ``ranging``    — archived dual-channel chain (``godual_ranging.m``),
+- ``goranging``  — the C++ batch chain (``processing/CPP/main.cpp``:
+  ``GoRanging data.bin code.bin [remote] [foffset]``),
+- ``claudio``    — per-code aligned chain (``claudio_*.m``),
+- ``gofinal``    — per-record text extraction (``gofinal_ltfb.m``),
+- ``twoway``     — daily two-way solve (``tw.m`` / ``go_1s.m``),
+- ``dllpll``     — DLL/PLL receiver (``rxcomplex.cpp data.bin`` with
+  ``sdr.param``),
+- ``batch``      — directory batch processing (``goprocess.sh``),
+- ``config``     — dump or validate a TwstftConfig JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_signal_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--fs", type=float, default=5e6)
+    p.add_argument("--chip-rate", type=float, default=2.5e6)
+    p.add_argument("--code-len", type=int, default=100_000)
+    p.add_argument("--bitlen", type=int, default=17)
+    p.add_argument("--taps", type=int, default=9)
+
+
+def _signal(args):
+    from amaranth_twstft_tpu.config import SignalConfig
+
+    return SignalConfig(
+        fs=args.fs,
+        chip_rate=args.chip_rate,
+        code_len=args.code_len,
+        bit_len=args.bitlen,
+        taps=args.taps,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="twstft-tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prn", help="generate PRN code files / search taps")
+    p.add_argument("--bitlen", type=int, required=True)
+    p.add_argument("--noiselen", type=int)
+    p.add_argument("--taps", type=int)
+    p.add_argument("--taps-b", type=int)
+    p.add_argument("--search", type=int, metavar="N",
+                   help="search the first N maximal-length taps")
+    p.add_argument("-o", "--output")
+
+    p = sub.add_parser("ranging", help="archived dual-channel chain")
+    p.add_argument("capture")
+    p.add_argument("code")
+    _add_signal_args(p)
+    p.add_argument("--remote", action="store_true")
+    p.add_argument("--op", action="store_true", help="OP station (vs LTFB)")
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+    p = sub.add_parser("goranging", help="C++-chain semantics (fixed df)")
+    p.add_argument("capture")
+    p.add_argument("code")
+    _add_signal_args(p)
+    p.add_argument("--remote", action="store_true")
+    p.add_argument("--foffset", type=float, default=0.0)
+    p.add_argument("--f64", action="store_true")
+
+    p = sub.add_parser("claudio", help="per-code aligned tracking chain")
+    p.add_argument("capture")
+    p.add_argument("code")
+    _add_signal_args(p)
+    p.add_argument("--remote", action="store_true")
+    p.add_argument("--local", action="store_true",
+                   help="local channel instead of ranging")
+    p.add_argument("--op", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+    p = sub.add_parser("gofinal", help="per-record text extraction")
+    p.add_argument("local_mat")
+    p.add_argument("remote_mat")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--end-unix", type=float)
+    p.add_argument("--fs", type=float, default=5e6)
+
+    p = sub.add_parser("twoway", help="two-way daily solve of text tables")
+    p.add_argument("op_txt")
+    p.add_argument("ltfb_txt")
+
+    p = sub.add_parser("dllpll", help="DLL/PLL multi-channel receiver")
+    p.add_argument("capture")
+    p.add_argument("--param", required=True, help="sdr.param channel file")
+    p.add_argument("--fs", type=float, default=5e6)
+    p.add_argument("--seconds", type=int, default=0, help="0 = whole file")
+
+    p = sub.add_parser("batch", help="process a capture directory")
+    p.add_argument("datadir")
+    p.add_argument("code")
+    _add_signal_args(p)
+    p.add_argument("--chain", choices=["claudio", "godual", "goranging"],
+                   default="claudio")
+    p.add_argument("--remote", action="store_true")
+
+    p = sub.add_parser("config", help="dump or round-trip a config JSON")
+    p.add_argument("--load")
+
+    args = parser.parse_args(argv)
+    return _dispatch(args)
+
+
+def _dispatch(args) -> int:
+    if getattr(args, "f64", False):
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    if args.cmd == "prn":
+        from amaranth_twstft_tpu.ops.lfsr import (
+            find_mseq_taps,
+            prn_default_filename,
+            write_prn_file,
+        )
+
+        if args.search:
+            taps = find_mseq_taps(args.bitlen, args.search)
+            for t in taps:
+                print(t)
+            return 0
+        if args.taps is None or args.noiselen is None:
+            print("need --taps and --noiselen (or --search)", file=sys.stderr)
+            return 2
+        out = args.output or prn_default_filename(
+            args.bitlen, args.noiselen, args.taps, args.taps_b
+        )
+        write_prn_file(out, args.bitlen, args.noiselen, args.taps, args.taps_b)
+        print(out)
+        return 0
+
+    if args.cmd == "ranging":
+        import jax.numpy as jnp
+
+        from amaranth_twstft_tpu.config import ProcessingConfig, StationConfig
+        from amaranth_twstft_tpu.models import godual
+
+        out = godual.process_file(
+            args.capture,
+            args.code,
+            _signal(args),
+            ProcessingConfig(),
+            StationConfig(op=args.op),
+            remote=args.remote,
+            dtype=jnp.complex128 if args.f64 else jnp.complex64,
+            verbose=args.verbose,
+        )
+        print(out["mat_path"])
+        return 0
+
+    if args.cmd == "goranging":
+        import jax.numpy as jnp
+
+        from amaranth_twstft_tpu.models import goranging
+
+        out = goranging.process_file(
+            args.capture,
+            args.code,
+            _signal(args),
+            remote=args.remote,
+            foffset_hz=args.foffset,
+            dtype=jnp.complex128 if args.f64 else jnp.complex64,
+        )
+        print(f"df1={out['df'][0]:.3f}", file=sys.stderr)
+        print(out["mat_path"])
+        return 0
+
+    if args.cmd == "claudio":
+        from amaranth_twstft_tpu.config import ProcessingConfig, StationConfig
+        from amaranth_twstft_tpu.models import claudio
+
+        out = claudio.process_file(
+            args.capture,
+            args.code,
+            _signal(args),
+            ProcessingConfig(conjugate_data=True),
+            StationConfig(op=args.op),
+            remote=args.remote,
+            ranging=not (args.remote or args.local),
+            verbose=args.verbose,
+        )
+        if out is None:
+            print("already done", file=sys.stderr)
+            return 0
+        print(out["mat_path"])
+        return 0
+
+    if args.cmd == "gofinal":
+        from amaranth_twstft_tpu.models import gofinal
+
+        out = gofinal.extract_session(
+            args.local_mat,
+            args.remote_mat,
+            capture_end_unix=args.end_unix,
+            fs=args.fs,
+            out_txt=args.output,
+        )
+        if out is None:
+            print("already processed", file=sys.stderr)
+            return 0
+        print(f"{len(out['rows'])} rows -> {args.output}")
+        return 0
+
+    if args.cmd == "twoway":
+        from amaranth_twstft_tpu.models import gofinal, twoway
+
+        op_rows = gofinal.read_rows(args.op_txt)
+        lt_rows = gofinal.read_rows(args.ltfb_txt)
+        res = twoway.pair_and_solve_daily(op_rows, lt_rows)
+        if not res["ok"]:
+            print(res["reason"], file=sys.stderr)
+            return 1
+        print(
+            json.dumps(
+                {"mean_ns": res["mean_ns"], "std_ns": res["std_ns"],
+                 "n": int(len(res["res_ns"]))}
+            )
+        )
+        return 0
+
+    if args.cmd == "dllpll":
+        from amaranth_twstft_tpu.models.dllpll import Receiver, parse_sdr_param
+        from amaranth_twstft_tpu.utils import io
+
+        with open(args.param) as f:
+            chans = parse_sdr_param(f.read())
+        rx = Receiver(chans, fs=args.fs)
+        fs = int(args.fs)
+        total = io.n_samples_sc16(args.capture, channels=2)
+        n_sec = total // fs - 1
+        if args.seconds:
+            n_sec = min(n_sec, args.seconds)
+        for s in range(n_sec):
+            d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, 2 * fs,
+                                       channels=2)
+            if d.shape[1] == 0:
+                break
+            reports = rx.process_second({"A": d[0, 0], "B": d[1, 0]})
+            for ch, rep in zip(rx.channels, reports):
+                if rep is not None:
+                    print(
+                        f"{s} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
+                        f"{rep.fc_hz:14.6f} {rep.phi_cycles:11.8f} "
+                        f"{rep.cnt:3d} {rep.gd_ns:14.6f} {rep.dg_ns_per_s:11.6f} "
+                        f"{rep.sdgd_ns:8.4f} {rep.pk_dbm:7.3f} {rep.pnoise_dbm:7.3f}"
+                    )
+        for line in rx.log:
+            print(line, file=sys.stderr)
+        return 0
+
+    if args.cmd == "batch":
+        from amaranth_twstft_tpu.pipeline import process_directory
+
+        rep = process_directory(
+            args.datadir, args.code, _signal(args), chain=args.chain,
+            remote=args.remote,
+        )
+        print(
+            json.dumps(
+                {
+                    "processed": rep.processed,
+                    "skipped": rep.skipped,
+                    "failed": rep.failed,
+                }
+            )
+        )
+        return 0 if not rep.failed else 1
+
+    if args.cmd == "config":
+        from amaranth_twstft_tpu.config import TwstftConfig
+
+        if args.load:
+            try:
+                with open(args.load) as f:
+                    cfg = TwstftConfig.from_json(f.read())
+            except (OSError, ValueError, TypeError) as e:
+                print(f"invalid config {args.load}: {e}", file=sys.stderr)
+                return 1
+            print(f"ok hash={cfg.config_hash()}", file=sys.stderr)
+            print(cfg.to_json())
+        else:
+            print(TwstftConfig().to_json())
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

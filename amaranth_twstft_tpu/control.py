@@ -1,0 +1,355 @@
+"""Runtime control plane: the UART command protocol, host-side.
+
+The reference controls the FPGA emitter over 115200 8E1 serial: 1-byte
+opcodes, multi-byte payloads for taps/time, and a prioritized status-code
+stream back (``amaranth_twstft/twstft_config.py:42-129``, decoded by the
+gateware FSM ``uart_wrapper.py:96-203``).  This module re-creates the
+protocol host-side:
+
+- :class:`StationController` — the ``twstft_config.py`` client API over
+  any byte transport (pyserial if present, or any read/write object),
+- :class:`EmulatedStation` — a behavioral model of the gateware command
+  FSM + status stream, standing in for the FPGA in tests exactly like the
+  reference's Amaranth simulator testbenches stand in for hardware
+  (SURVEY.md §4.1),
+- wire-format helpers shared by both.
+
+Wire format (``twstft_config.py:42-103``):
+
+- plain commands: one opcode byte,
+- SET_TAPS_A/B: opcode + ceil(bitlen/8) bytes, little-endian,
+- SET_TIME: opcode + 1 byte (seconds % 60),
+- status stream: one code byte; CALIBRATION_DONE is followed by the
+  PPS-phase byte (``twstft_config.py:113-120``, ``uart_wrapper.py:193-199``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from math import ceil
+from typing import Callable
+
+from amaranth_twstft_tpu.config import Modulation, TimeCoderMode
+
+__all__ = [
+    "SerialInCommand",
+    "SerialOutCode",
+    "CalibrationMode",
+    "encode_command",
+    "StationController",
+    "EmulatedStation",
+    "LoopbackTransport",
+]
+
+
+class CalibrationMode(Enum):
+    """``amaranth_twstft/common.py:136-140``."""
+
+    AUTO = 0
+    CLK = 1
+    PPS = 2
+    OFF = 3
+
+
+class SerialInCommand(Enum):
+    """Host -> FPGA opcodes (``amaranth_twstft/common.py:155-171``)."""
+
+    TIMECODER_OFF = 0
+    TIMECODER_INVERT_FIRST_CODE = 1
+    SET_TAPS_A = 2
+    SET_TAPS_B = 3
+    MODE_CARRIER = 4
+    MODE_BPSK = 5
+    MODE_QPSK = 6
+    MODE_OFF = 7
+    SET_TIME = 8
+    TIMECODER_TIMECODE = 9
+    CALIB_OFF = 10
+    CALIB_CLK = 11
+    CALIB_PPS = 12
+    CALIB_AUTO = 13
+    ASK_CALIB = 14
+    DO_RESET = 15
+
+
+class SerialOutCode(Enum):
+    """FPGA -> host status codes (``amaranth_twstft/common.py:173-187``)."""
+
+    NOTHING = 0
+    PPS_GOOD = 1
+    PPS_EARLY = 2
+    PPS_LATE = 3
+    SERIAL_RX_OVERFLOW_ERROR = 4
+    SERIAL_RX_FRAME_ERROR = 5
+    SERIAL_RX_PARITY_ERROR = 6
+    UNKNOWN_COMMAND_ERROR = 7
+    CODE_UNALIGNED = 8
+    SYMBOL_UNALIGNED = 9
+    OSCIL_UNALIGNED = 10
+    CALIBRATION_DONE = 12
+    LOST_LOCK = 13
+
+
+def encode_command(cmd: SerialInCommand, payload: int | None = None,
+                   bit_len: int = 17) -> bytes:
+    """Wire bytes for one command (``twstft_config.py:42-103``)."""
+    head = bytes([cmd.value])
+    if cmd in (SerialInCommand.SET_TAPS_A, SerialInCommand.SET_TAPS_B):
+        if payload is None:
+            raise ValueError("taps payload required")
+        nbytes = ceil(bit_len / 8)
+        return head + int(payload).to_bytes(8, "little")[:nbytes]
+    if cmd is SerialInCommand.SET_TIME:
+        if payload is None:
+            raise ValueError("time payload required")
+        return head + bytes([int(payload) % 60])
+    return head
+
+
+class LoopbackTransport:
+    """In-memory byte pipe pair (host end + station end)."""
+
+    def __init__(self):
+        self._a2b = bytearray()
+        self._b2a = bytearray()
+
+    # host side
+    def write(self, data: bytes) -> int:
+        self._a2b.extend(data)
+        return len(data)
+
+    def read(self, n: int = 1) -> bytes:
+        out = bytes(self._b2a[:n])
+        del self._b2a[:n]
+        return out
+
+    def flush(self) -> None:
+        pass
+
+    # station side
+    def station_read_all(self) -> bytes:
+        out = bytes(self._a2b)
+        self._a2b.clear()
+        return out
+
+    def station_write(self, data: bytes) -> None:
+        self._b2a.extend(data)
+
+
+@dataclass
+class EmulatedStation:
+    """Behavioral model of the gateware command FSM + status stream.
+
+    State-for-state with ``uart_wrapper.py:96-203``: a WAITING state
+    dispatching opcodes, multi-byte receive states for taps/time, status
+    emission including the post-calibration PPS phase.
+    """
+
+    transport: LoopbackTransport
+    bit_len: int = 17
+    mode: Modulation = Modulation.OFF
+    timecoder: TimeCoderMode = TimeCoderMode.OFF
+    calib_mode: CalibrationMode = CalibrationMode.AUTO
+    taps_a: int = 0
+    taps_b: int = 0
+    time_s: int = 0
+    pps_phase: int = 3
+    calibrated: bool = False
+    _pending: bytes = b""
+    _state: str = "WAITING"
+    _recv_buf: list = field(default_factory=list)
+    _recv_need: int = 0
+
+    def step(self) -> None:
+        """Consume every pending host byte through the FSM."""
+        data = self._pending + self.transport.station_read_all()
+        self._pending = b""
+        i = 0
+        while i < len(data):
+            b = data[i]
+            if self._state == "WAITING":
+                i += self._dispatch(b)
+            else:
+                self._recv_buf.append(b)
+                i += 1
+                if len(self._recv_buf) >= self._recv_need:
+                    self._finish_recv()
+        # nothing buffered across calls unless mid-payload
+        if self._state != "WAITING" and i < len(data):
+            self._pending = data[i:]
+
+    def _dispatch(self, b: int) -> int:
+        try:
+            cmd = SerialInCommand(b)
+        except ValueError:
+            self.transport.station_write(
+                bytes([SerialOutCode.UNKNOWN_COMMAND_ERROR.value])
+            )
+            return 1
+        C = SerialInCommand
+        if cmd is C.MODE_CARRIER:
+            self.mode = Modulation.CARRIER
+        elif cmd is C.MODE_BPSK:
+            self.mode = Modulation.BPSK
+        elif cmd is C.MODE_QPSK:
+            self.mode = Modulation.QPSK
+        elif cmd is C.MODE_OFF:
+            self.mode = Modulation.OFF
+        elif cmd is C.TIMECODER_OFF:
+            self.timecoder = TimeCoderMode.OFF
+        elif cmd is C.TIMECODER_INVERT_FIRST_CODE:
+            self.timecoder = TimeCoderMode.INVERT_FIRST_CODE
+        elif cmd is C.TIMECODER_TIMECODE:
+            self.timecoder = TimeCoderMode.TIMECODE
+        elif cmd is C.CALIB_OFF:
+            self.calib_mode = CalibrationMode.OFF
+        elif cmd is C.CALIB_CLK:
+            self.calib_mode = CalibrationMode.CLK
+        elif cmd is C.CALIB_PPS:
+            self.calib_mode = CalibrationMode.PPS
+        elif cmd is C.CALIB_AUTO:
+            self.calib_mode = CalibrationMode.AUTO
+        elif cmd is C.SET_TAPS_A:
+            self._state, self._recv_need = "SET_TAPS_A", ceil(self.bit_len / 8)
+        elif cmd is C.SET_TAPS_B:
+            self._state, self._recv_need = "SET_TAPS_B", ceil(self.bit_len / 8)
+        elif cmd is C.SET_TIME:
+            self._state, self._recv_need = "SET_TIME", 1
+        elif cmd is C.ASK_CALIB:
+            # calibration completes immediately in the model; the gateware
+            # sweeps 32 IDELAY taps first (clocking.py:134-191)
+            self.calibrated = True
+            self.transport.station_write(
+                bytes([SerialOutCode.CALIBRATION_DONE.value, self.pps_phase])
+            )
+        elif cmd is C.DO_RESET:
+            self.mode = Modulation.OFF
+            self.timecoder = TimeCoderMode.OFF
+            self.calibrated = False
+        return 1
+
+    def _finish_recv(self) -> None:
+        val = int.from_bytes(bytes(self._recv_buf), "little")
+        if self._state == "SET_TAPS_A":
+            self.taps_a = val
+        elif self._state == "SET_TAPS_B":
+            self.taps_b = val
+        elif self._state == "SET_TIME":
+            self.time_s = val % 60
+        self._state = "WAITING"
+        self._recv_buf = []
+        self._recv_need = 0
+
+    def pps_tick(self, good: bool = True) -> None:
+        """Emit a PPS quality event (``clocking.py:114-125`` watchdog)."""
+        code = SerialOutCode.PPS_GOOD if good else SerialOutCode.PPS_LATE
+        self.transport.station_write(bytes([code.value]))
+
+
+Handler = Callable[["StationController", SerialOutCode], None]
+
+
+class StationController:
+    """Host client API (the ``twstft_config.py`` functions, object-form)."""
+
+    def __init__(self, transport, bit_len: int = 17,
+                 station: EmulatedStation | None = None):
+        self.t = transport
+        self.bit_len = bit_len
+        self._station = station  # emulation: step after writes
+
+    def _send(self, cmd: SerialInCommand, payload: int | None = None) -> None:
+        self.t.write(encode_command(cmd, payload, self.bit_len))
+        if hasattr(self.t, "flush"):
+            self.t.flush()
+        if self._station is not None:
+            self._station.step()
+
+    def set_mode(self, mode: Modulation) -> None:
+        self._send(
+            {
+                Modulation.CARRIER: SerialInCommand.MODE_CARRIER,
+                Modulation.BPSK: SerialInCommand.MODE_BPSK,
+                Modulation.QPSK: SerialInCommand.MODE_QPSK,
+                Modulation.OFF: SerialInCommand.MODE_OFF,
+            }[mode]
+        )
+
+    def set_timecode_mode(self, mode: TimeCoderMode) -> None:
+        self._send(
+            {
+                TimeCoderMode.OFF: SerialInCommand.TIMECODER_OFF,
+                TimeCoderMode.INVERT_FIRST_CODE:
+                    SerialInCommand.TIMECODER_INVERT_FIRST_CODE,
+                TimeCoderMode.TIMECODE: SerialInCommand.TIMECODER_TIMECODE,
+            }[mode]
+        )
+
+    def set_calib_mode(self, mode: CalibrationMode) -> None:
+        self._send(
+            {
+                CalibrationMode.OFF: SerialInCommand.CALIB_OFF,
+                CalibrationMode.CLK: SerialInCommand.CALIB_CLK,
+                CalibrationMode.PPS: SerialInCommand.CALIB_PPS,
+                CalibrationMode.AUTO: SerialInCommand.CALIB_AUTO,
+            }[mode]
+        )
+
+    def set_taps(self, taps_a: int | None = None, taps_b: int | None = None):
+        if taps_a is not None:
+            self._send(SerialInCommand.SET_TAPS_A, taps_a)
+        if taps_b is not None:
+            self._send(SerialInCommand.SET_TAPS_B, taps_b)
+
+    def set_time(self, seconds: int) -> None:
+        self._send(SerialInCommand.SET_TIME, seconds)
+
+    def reset(self) -> None:
+        self._send(SerialInCommand.DO_RESET)
+
+    def ask_calib(self) -> int:
+        """Returns the PPS phase (``twstft_config.py:100-103``)."""
+        self._send(SerialInCommand.ASK_CALIB)
+        while True:
+            b = self.t.read(1)
+            if not b:
+                raise TimeoutError("no CALIBRATION_DONE received")
+            if b[0] == SerialOutCode.CALIBRATION_DONE.value:
+                return self.t.read(1)[0]
+
+    def set_time_on_pps(self, get_time: Callable[[], int],
+                        settle_s: float = 0.0) -> None:
+        """PPS-synchronized time setting: wait for PPS_GOOD, settle, then
+        send the *next* second (``twstft_config.py:203-217``)."""
+        while True:
+            b = self.t.read(1)
+            if not b:
+                raise TimeoutError("no PPS_GOOD received")
+            if b[0] == SerialOutCode.PPS_GOOD.value:
+                if settle_s:
+                    time.sleep(settle_s)
+                self.set_time(get_time() + 1)
+                return
+
+    def monitor(self, handlers: dict[SerialOutCode, list[Handler]],
+                max_events: int | None = None) -> int:
+        """Blocking dispatch loop (``twstft_config.py:116-129``).
+
+        Returns the number of events dispatched (bounded by
+        ``max_events`` for testability; the reference loops forever).
+        """
+        n = 0
+        while max_events is None or n < max_events:
+            b = self.t.read(1)
+            if not b:
+                break
+            try:
+                code = SerialOutCode(b[0])
+            except ValueError:
+                continue
+            for h in handlers.get(code, []):
+                h(self, code)
+            n += 1
+        return n

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from amaranth_twstft_tpu.ops.correlator import correlate_epochs, EpochResult
-from amaranth_twstft_tpu.ops.peaks import parabolic_correction
 
 __all__ = ["CafPeaks", "doppler_bins", "caf_peaks", "caf_search", "caf_surface"]
 
@@ -137,11 +136,16 @@ def caf_search(
         H = peaks.power.shape[-1]
         hm1 = jnp.clip(h_best - 1, 0, H - 1)
         hp1 = jnp.clip(h_best + 1, 0, H - 1)
-        pm1 = jnp.take_along_axis(peaks.power, hm1[..., None], -1)[..., 0]
-        p0 = jnp.take_along_axis(peaks.power, h_best[..., None], -1)[..., 0]
-        pp1 = jnp.take_along_axis(peaks.power, hp1[..., None], -1)[..., 0]
-        # same 3-point parabola as the delay axis; positive toward +1
-        delta = parabolic_correction(pm1, p0, pp1)
+        am1 = jnp.sqrt(jnp.take_along_axis(peaks.power, hm1[..., None], -1)[..., 0])
+        ap1 = jnp.sqrt(jnp.take_along_axis(peaks.power, hp1[..., None], -1)[..., 0])
+        # The correlation-peak amplitude vs Doppler offset follows
+        # |sinc(pi * delta * T)| (coherent integration over one code, null
+        # spacing 1/T = one spectrum bin).  For that profile the exact
+        # 2-point interpolator is delta = step * (a+ - a-)/(a+ + a-)
+        # — a 3-point parabola is badly biased near the nulls.
+        den = ap1 + am1
+        safe = jnp.where(den == 0, 1.0, den)
+        delta = jnp.where(den == 0, 0.0, (ap1 - am1) / safe)
         interior = (h_best > 0) & (h_best < H - 1)
         df = f_best + jnp.where(interior, delta * step_hz, 0.0)
     else:

@@ -1,0 +1,159 @@
+"""Control plane (UART protocol) + orchestration + gofinal + obslog."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from amaranth_twstft_tpu import pipeline
+from amaranth_twstft_tpu.config import Modulation, TimeCoderMode
+from amaranth_twstft_tpu.control import (
+    CalibrationMode,
+    EmulatedStation,
+    LoopbackTransport,
+    SerialInCommand,
+    SerialOutCode,
+    StationController,
+    encode_command,
+)
+from amaranth_twstft_tpu.models import gofinal
+from amaranth_twstft_tpu.utils.obslog import EpochRow, EventLog, format_epoch_row
+
+
+def _pair():
+    t = LoopbackTransport()
+    station = EmulatedStation(t)
+    ctl = StationController(t, bit_len=17, station=station)
+    return t, station, ctl
+
+
+def test_wire_format():
+    # plain opcode
+    assert encode_command(SerialInCommand.MODE_BPSK) == bytes([5])
+    # taps: opcode + ceil(17/8)=3 bytes little-endian (twstft_config.py:83-92)
+    w = encode_command(SerialInCommand.SET_TAPS_A, 0x12345, bit_len=17)
+    assert w == bytes([2]) + (0x12345).to_bytes(3, "little")
+    # time: opcode + 1 byte mod 60
+    assert encode_command(SerialInCommand.SET_TIME, 75) == bytes([8, 15])
+
+
+def test_station_command_fsm():
+    t, station, ctl = _pair()
+    ctl.set_mode(Modulation.BPSK)
+    assert station.mode == Modulation.BPSK
+    ctl.set_taps(taps_a=9, taps_b=85)
+    assert station.taps_a == 9 and station.taps_b == 85
+    ctl.set_time(42)
+    assert station.time_s == 42
+    ctl.set_timecode_mode(TimeCoderMode.TIMECODE)
+    assert station.timecoder == TimeCoderMode.TIMECODE
+    ctl.set_calib_mode(CalibrationMode.PPS)
+    assert station.calib_mode == CalibrationMode.PPS
+    ctl.reset()
+    assert station.mode == Modulation.OFF and not station.calibrated
+
+
+def test_ask_calib_returns_pps_phase():
+    t, station, ctl = _pair()
+    station.pps_phase = 7
+    assert ctl.ask_calib() == 7
+    assert station.calibrated
+
+
+def test_unknown_command_reported():
+    t, station, ctl = _pair()
+    t.write(bytes([99]))
+    station.step()
+    codes = []
+    ctl.monitor(
+        {SerialOutCode.UNKNOWN_COMMAND_ERROR: [lambda c, code: codes.append(code)]},
+        max_events=1,
+    )
+    assert codes == [SerialOutCode.UNKNOWN_COMMAND_ERROR]
+
+
+def test_pps_synchronized_time_set():
+    t, station, ctl = _pair()
+    station.pps_tick(good=True)
+    ctl.set_time_on_pps(lambda: 10)
+    assert station.time_s == 11  # next second (twstft_config.py:212-216)
+
+
+def test_schedule_windows():
+    now = dt.datetime(2026, 8, 17, 12, 0)  # even hour
+    start, dur = pipeline.next_sampling_window(now)
+    assert start.hour % 2 == 1 and start.minute in (3, 45)
+    assert start > now and dur == 330.0
+    proc_t = pipeline.next_processing_time(now)
+    assert proc_t.minute == 53 and proc_t.hour % 2 == 1
+    # from just before a window: picks it
+    now2 = dt.datetime(2026, 8, 17, 13, 2)
+    start2, _ = pipeline.next_sampling_window(now2)
+    assert (start2.hour, start2.minute) == (13, 3)
+
+
+def test_retry_until_valid():
+    calls = []
+
+    def action():
+        calls.append(1)
+        return "ok" if len(calls) >= 3 else "bad"
+
+    out = pipeline.retry_until_valid(action, lambda r: r == "ok",
+                                     attempts=5, delay_s=0.0)
+    assert out == "ok" and len(calls) == 3
+    assert (
+        pipeline.retry_until_valid(lambda: "bad", lambda r: r == "ok",
+                                   attempts=2, delay_s=0.0)
+        is None
+    )
+
+
+def test_epoch_row_format():
+    row = EpochRow(n=3, dt_s=0.000123456789012, df_hz=137.5, p_db=60.2,
+                   snr_db=12.3)
+    assert format_epoch_row(row) == "3\t0.000123456789\t137.500\t60.2\t12.3"
+
+
+def test_event_log(tmp_path):
+    log = EventLog(str(tmp_path / "events.jsonl"))
+    log.emit("lock_lost", channel="A", cnt=3)
+    log.emit("slip", epoch=17)
+    assert len(log.of_kind("slip")) == 1
+    text = (tmp_path / "events.jsonl").read_text().splitlines()
+    assert len(text) == 2 and '"lock_lost"' in text[0]
+
+
+def test_gofinal_roundtrip(tmp_path):
+    """Archive pair -> text rows -> read back -> daily solve input."""
+    from amaranth_twstft_tpu.utils import matio
+
+    n = 60
+    rng = np.random.default_rng(0)
+    mk = lambda base: {
+        "indice": np.full(n, base, float),
+        "correction": rng.normal(0, 0.01, n),
+        "snr_r": np.full(n, 10.0),
+        "snr_i": np.full(n, 5.0),
+        "df": np.full(n, 100.0),
+        "puissance": np.ones(n),
+        "puissance_code": np.ones(n),
+        "puissance_noise": np.ones(n),
+        "xval": np.ones(n, complex),
+        "xvalm1": np.ones(n, complex),
+        "xvalp1": np.ones(n, complex),
+    }
+    local = str(tmp_path / "1755400000_local.mat")
+    remote = str(tmp_path / "1755400000_remote.mat")
+    matio.save_octave_style(local, mk(600.0), mk(60.0))
+    matio.save_c_style(remote, mk(1500.0), None)
+    out_txt = str(tmp_path / "1755400000ltfb.txt")
+    out = gofinal.extract_session(local, remote, fs=1e5, out_txt=out_txt)
+    assert out is not None and len(out["rows"]) == n
+    rows = gofinal.read_rows(out_txt)
+    assert rows.shape == (n, 15)
+    # delay column: (indice0 + corr)/3/fs (the save/load pair round-trips
+    # the 0-based indice through the 1-based Octave convention)
+    np.testing.assert_allclose(rows[:, 6], 600.0 / 3 / 1e5, atol=1e-7)
+    # idempotent
+    assert gofinal.extract_session(local, remote, fs=1e5, out_txt=out_txt) is None

@@ -1,0 +1,99 @@
+"""Native C++ components vs their NumPy/Python counterparts."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from amaranth_twstft_tpu import native
+from amaranth_twstft_tpu.ops import lfsr
+from amaranth_twstft_tpu.utils import io
+
+pytestmark = pytest.mark.skipif(
+    native.load() is None, reason="no C++ toolchain"
+)
+
+
+def test_mseq_matches_python():
+    assert native.is_mseq(17, 9) and not native.is_mseq(17, 7)
+    assert native.find_mseq(10, 4) == lfsr.find_mseq_taps(10, 4)
+
+
+def test_prn_chips_match():
+    np.testing.assert_array_equal(
+        native.prn_chips(17, 9, 5000), lfsr.prn_chips(17, 9, 5000)
+    )
+
+
+def test_ingest_matches_numpy(tmp_path, rng):
+    n = 50_000
+    ch1 = (rng.normal(0, 1000, n) + 1j * rng.normal(0, 1000, n)).astype(
+        np.complex64
+    )
+    ch2 = (rng.normal(0, 500, n) + 1j * rng.normal(0, 500, n)).astype(
+        np.complex64
+    )
+    p = str(tmp_path / "cap.bin")
+    io.write_sc16(p, ch1, ch2)
+
+    assert native.file_frames(p, 2) == n
+    out, got = native.ingest_epochs(p, 100, 3, 10_000, channels=2)
+    assert got == 3 and out.shape == (2, 3, 10_000, 2)
+    ref, _ = io.read_sc16_epochs(p, 100, 3, 10_000, channels=2)
+    np.testing.assert_array_equal(out[..., 0], ref.real.astype(np.float32))
+    np.testing.assert_array_equal(out[..., 1], ref.imag.astype(np.float32))
+
+    dec = native.ingest_decimated(p, 7, channels=2)
+    ref_dec = io.decimate_sc16(p, 7, channels=2)
+    np.testing.assert_array_equal(dec[..., 0], ref_dec.real.astype(np.float32))
+
+    # short read at EOF
+    out2, got2 = native.ingest_epochs(p, n - 5_000, 3, 10_000)
+    assert got2 == 0
+    # mtime recovery (stat.c role)
+    assert abs(native.file_mtime(p) - os.path.getmtime(p)) < 1.0
+
+
+def test_write_sc16_roundtrip(tmp_path, rng):
+    n = 10_000
+    ri = rng.normal(0, 1000, (n, 2)).astype(np.float32)
+    p = str(tmp_path / "w.bin")
+    assert native.write_sc16(p, ri) == n
+    back, got = native.ingest_epochs(p, 0, 1, n, channels=1)
+    assert got == 1
+    np.testing.assert_array_equal(back[0, 0], np.rint(ri).astype(np.float32))
+
+
+def test_native_mat_writer_scipy_readable(tmp_path, rng):
+    """The C++ MAT v5 writer's files load via scipy and Octave-compatible
+    field names (the GoRanging::save contract)."""
+    p = str(tmp_path / "out.mat")
+    corr = rng.normal(0, 1, 100)
+    snr = rng.normal(10, 1, 100)
+    xval = rng.normal(0, 1, 100) + 1j * rng.normal(0, 1, 100)
+    native.save_mat(p, {"correction1": corr, "SNR1": snr, "xval1": xval})
+    md = sio.loadmat(p)
+    np.testing.assert_allclose(md["correction1"].ravel(), corr)
+    np.testing.assert_allclose(md["SNR1"].ravel(), snr)
+    np.testing.assert_allclose(md["xval1"].ravel(), xval)
+    assert md["correction1"].shape == (100, 1)  # column vector like matio
+
+
+def test_native_mat_reload_through_loader(tmp_path, rng):
+    """matio.load_result auto-detects the C convention on native files."""
+    from amaranth_twstft_tpu.utils import matio
+
+    p = str(tmp_path / "resC.mat")
+    native.save_mat(
+        p,
+        {
+            "correction1": np.arange(10.0) + 500,
+            "SNR1": np.full(10, 12.0),
+            "df1": np.full(10, 100.0),
+            "xval1": np.ones(10, complex),
+        },
+    )
+    back = matio.load_result(p)
+    np.testing.assert_allclose(back["solution1"], np.arange(10.0) + 500)
+    np.testing.assert_allclose(back["snr1_db"], 12.0)

@@ -1,0 +1,100 @@
+"""Sharded CAF step: shard-count invariance, halos, slip offsets."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+from amaranth_twstft_tpu.ops.caf import doppler_bins
+from amaranth_twstft_tpu.ops.lfsr import prn_chips
+from amaranth_twstft_tpu.ops.prn import (
+    chips_to_pm1,
+    code_spectrum,
+    interp_code,
+    upsample_zoh,
+)
+from amaranth_twstft_tpu.parallel.mesh import make_mesh
+from amaranth_twstft_tpu.parallel.sharded import make_sharded_caf_step, shard_blocks
+
+
+@pytest.fixture(scope="module")
+def setup(small_cfg):
+    cfg = small_cfg
+    L = cfg.samples_per_code
+    (stream,) = synthesize_capture(
+        cfg,
+        [ChannelSim(delay_samples=100.5, doppler_hz=180.0, amplitude=900,
+                    noise_sigma=200)],
+        n_seconds=2,
+        seed=3,
+    )
+    code = chips_to_pm1(
+        upsample_zoh(prn_chips(cfg.bit_len, cfg.taps, cfg.code_len), 2)
+    )
+    fcode = jnp.asarray(code_spectrum(code))
+    code3 = jnp.asarray(interp_code(code, 3))
+    shifts, _ = doppler_bins(cfg.fs, L, -500, 500, 50.0)
+    return cfg, stream, fcode, code3, shifts
+
+
+def _blocks(stream, n_time, epb, L, halo):
+    blocks = np.zeros((n_time, epb * L + halo), dtype=np.complex128)
+    for i in range(n_time):
+        seg = stream[i * epb * L : i * epb * L + epb * L + halo]
+        blocks[i, : len(seg)] = seg
+    return blocks
+
+
+def test_shard_count_invariance(setup):
+    """Identical numerics at 1x1, 4x2 and 8x1 meshes (SURVEY.md §4.6)."""
+    cfg, stream, fcode, code3, shifts = setup
+    L = cfg.samples_per_code
+    halo = L // 2
+    results = {}
+    for (nt, nc, epb) in [(1, 1, 16), (4, 2, 4), (8, 1, 2)]:
+        mesh = make_mesh(nt, nc)
+        step = make_sharded_caf_step(mesh, cfg.fs, L, epb, halo, caf_chunk=3)
+        blocks = _blocks(stream, nt, epb, L, halo)
+        args = shard_blocks(
+            mesh, jnp.asarray(blocks), jnp.zeros(nt, jnp.int32), fcode,
+            code3, shifts,
+        )
+        delay, df, pk, snr, xval = step(*args)
+        results[(nt, nc)] = (
+            np.asarray(delay).ravel(),
+            np.asarray(df).ravel(),
+            np.asarray(snr).ravel(),
+        )
+    base = results[(1, 1)]
+    for key in [(4, 2), (8, 1)]:
+        np.testing.assert_array_equal(base[0], results[key][0])
+        np.testing.assert_array_equal(base[1], results[key][1])
+        np.testing.assert_allclose(base[2], results[key][2], rtol=1e-12)
+
+
+def test_slip_offsets_use_halo(setup):
+    """Nonzero per-block offsets reach into the ppermute'd halo and still
+    recover the signal delay (the `dold` carry as a collective)."""
+    cfg, stream, fcode, code3, shifts = setup
+    L = cfg.samples_per_code
+    halo = L // 2
+    nt, epb = 4, 4
+    mesh = make_mesh(nt, 2)
+    step = make_sharded_caf_step(mesh, cfg.fs, L, epb, halo, caf_chunk=3)
+    blocks = _blocks(stream, nt, epb, L, halo)
+    # zero the host-provided halo region: the step must fetch it from the
+    # next shard via ppermute
+    blocks[:, epb * L :] = 0
+    offsets = np.asarray([0, 40, 333, 999], np.int32)
+    args = shard_blocks(
+        mesh, jnp.asarray(blocks), jnp.asarray(offsets), fcode, code3, shifts
+    )
+    delay, df, pk, snr, xval = step(*args)
+    delay = np.asarray(delay)
+    # each block's epochs start `offset` later, so the measured delay
+    # drops by offset (mod L)
+    for i, off in enumerate(offsets):
+        expected = np.mod(100.5 - off, L)
+        np.testing.assert_allclose(delay[i], expected, atol=0.2)
