@@ -45,6 +45,9 @@ __all__ = [
     "notch_dominant_line",
     "TwoWaySolution",
     "solve_session",
+    "cn0_dbhz",
+    "ranging_detrend",
+    "pair_rows_by_time",
 ]
 
 
@@ -242,6 +245,67 @@ def solve_session(
         one_second=one_s,
         filtered_std=fstd,
     )
+
+
+def cn0_dbhz(snr_r: np.ndarray, snr_i: np.ndarray, fs: float) -> float:
+    """Carrier-to-noise density C/N0 in dB·Hz.
+
+    ``median(10*log10(abs(SNRr+SNRi)*fs))`` (``go_1s.m:124``) — the
+    per-sample SNR estimator scaled by the sample rate; the campaign
+    operating point is ~44-57 dB·Hz (``go_1s.m:420-429``, SURVEY.md §6).
+    """
+    return float(np.median(10.0 * np.log10(np.abs(snr_r + snr_i) * fs)))
+
+
+def ranging_detrend(delay_re_s: np.ndarray, delay_lo_s: np.ndarray,
+                    drop_first: int = 9) -> dict:
+    """Ranging-only daily statistic (``processing/Octave/ranging.m:23-31``).
+
+    ``res = col10 - col7`` (remote minus loopback delay, seconds), first 9
+    rows dropped, quadratic detrend, std in ns; also the reference's
+    ``mean(1-res)`` report.
+    """
+    res = np.asarray(delay_re_s) - np.asarray(delay_lo_s)
+    res = res[drop_first:]
+    if len(res) < 3:
+        return {"ok": False, "reason": "too few rows"}
+    t = np.arange(1, len(res) + 1, dtype=float)
+    coef = np.polyfit(t, res, 2)
+    detrended = res - np.polyval(coef, t)
+    return {
+        "ok": True,
+        "std_ns": float(np.std(detrended) * 1e9),
+        "mean_one_minus": float(np.mean(1.0 - res)),
+        "n": int(len(res)),
+    }
+
+
+def pair_rows_by_time(a_rows: np.ndarray, b_rows: np.ndarray,
+                      max_offset_s: int = 180):
+    """Integer-second alignment of two gofinal row tables by the
+    month*31+day pseudo-time (``tw.m:16-28``, ``ranging.m:11-21``).
+
+    Returns (a, b, offset) truncated to a common window, or None if the
+    offset exceeds ``max_offset_s``.
+    """
+    def pseudo_t(rows):
+        return (
+            ((rows[0, 1] * 31 + rows[0, 2]) * 24 + rows[0, 3] * 60)
+            + rows[0, 4] * 60
+            + rows[0, 5]
+        )
+
+    ta, tb = pseudo_t(a_rows), pseudo_t(b_rows)
+    if ta > tb:
+        diff = int(ta - tb)
+        b_rows = b_rows[diff:]
+    else:
+        diff = int(tb - ta)
+        a_rows = a_rows[diff:]
+    if diff >= max_offset_s:
+        return None
+    m = min(len(a_rows), len(b_rows))
+    return a_rows[:m], b_rows[:m], diff
 
 
 # ----------------------------------------------------------------------

@@ -70,7 +70,10 @@ class RangingOutputs:
         return 10.0 * np.log10(np.asarray(self.snr_r) + np.asarray(self.snr_i))
 
 
-@partial(jax.jit, static_argnames=("fs", "nint", "conjugate_data", "use_mask"))
+@partial(
+    jax.jit,
+    static_argnames=("fs", "nint", "conjugate_data", "use_mask", "fast"),
+)
 def ranging_step(
     iq: jax.Array,
     fcode_ri: jax.Array,
@@ -82,6 +85,8 @@ def ranging_step(
     conjugate_data: bool = False,
     use_mask: bool = True,
     fcode_interp_ri: jax.Array | None = None,
+    fast: bool = False,
+    fine_matrix_ri: jax.Array | None = None,
 ) -> RangingOutputs:
     """One fused program: IQ f32 (B, L, 2) -> per-epoch estimates (real).
 
@@ -109,6 +114,8 @@ def ranging_step(
         nint=nint,
         conjugate_data=conjugate_data,
         fcode_interp=fcode3,
+        fast=fast,
+        fine_matrix_ri=fine_matrix_ri,
     )
     xval_ri = jnp.stack(
         [
@@ -138,31 +145,49 @@ def make_ranging_step(
     fs: float,
     nint: int = 1,
     conjugate_data: bool = False,
+    fast: bool = True,
+    fine_width: int | None = None,
 ):
     """Bind replica/mask once; return ``step(iq_f32, df_fixed=None)``.
 
     The bound arrays are uploaded as real buffers; callers feed
     ``pack_complex``-ed IQ and read back :class:`RangingOutputs`.
+
+    ``fast=True`` (default) uses the MXU windowed fine interpolation
+    (:func:`ops.zoomdft.fine_window`) — ~2-3x faster at production L,
+    identical results except for noise-tied peaks; the interpolated-code
+    spectrum is pre-gathered at the zoom positions host-side so only
+    O(L) constants are uploaded.
     """
+    from amaranth_twstft_tpu.ops.correlator import DEFAULT_FINE_WIDTH
+    from amaranth_twstft_tpu.ops.zoomdft import fine_window_matrix, zoom_gather
+
+    L = int(np.asarray(fcode).shape[-1])
     fcode_ri = jnp.asarray(pack_complex(np.asarray(fcode)))
     code3_np = np.asarray(code_interp, dtype=np.float64)
     code3 = jnp.asarray(code3_np.astype(np.float32))
-    fcode3_ri = jnp.asarray(
-        pack_complex(np.conj(np.fft.fft(code3_np)).astype(np.complex64))
-    )
+    # SNR identity constant, pre-gathered at the zoom positions (L,).
+    g_np = zoom_gather(np.conj(np.fft.fft(code3_np)), L, nint)
+    fcode3_ri = jnp.asarray(pack_complex(g_np.astype(np.complex64)))
     mask_j = jnp.asarray(np.asarray(mask))
+    fine_ri = None
+    if fast:
+        e = fine_window_matrix(L, nint, fine_width or DEFAULT_FINE_WIDTH)
+        fine_ri = jnp.asarray(
+            np.stack([e.real, e.imag], axis=-1).astype(np.float32)
+        )
 
     def step(iq: jax.Array, df_fixed=None) -> RangingOutputs:
         if df_fixed is None:
             return ranging_step(
                 iq, fcode_ri, code3, mask_j, jnp.float32(0.0), fs,
                 nint=nint, conjugate_data=conjugate_data, use_mask=True,
-                fcode_interp_ri=fcode3_ri,
+                fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
             )
         return ranging_step(
             iq, fcode_ri, code3, mask_j, jnp.asarray(df_fixed, jnp.float32),
             fs, nint=nint, conjugate_data=conjugate_data, use_mask=False,
-            fcode_interp_ri=fcode3_ri,
+            fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
         )
 
     return step

@@ -27,11 +27,31 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from amaranth_twstft_tpu.ops.fftutils import mix_phasor, spectral_zoom
-from amaranth_twstft_tpu.ops.peaks import parabolic_correction, peak_neighbors
+from amaranth_twstft_tpu.ops.peaks import (
+    parabolic_correction,
+    peak_neighbors,
+    take_circular,
+)
+from amaranth_twstft_tpu.ops.zoomdft import fine_window, zoom_point
 
-__all__ = ["EpochResult", "correlate_epochs", "delay_seconds", "quick_xcorr_snr"]
+__all__ = [
+    "EpochResult",
+    "correlate_epochs",
+    "delay_seconds",
+    "quick_xcorr_snr",
+    "DEFAULT_FINE_WIDTH",
+]
+
+# Fine-interpolation window width of the fast path: +/-16 interpolated
+# samples = +/-5 un-interpolated samples around the coarse peak.  The
+# band-limited interpolation of a correlation peak never places the true
+# fine maximum further than +/-(nint) fine samples from the coarse
+# maximum unless two peaks are within noise of each other (in which case
+# the estimate is meaningless either way).
+DEFAULT_FINE_WIDTH = 32
 
 
 @jax.tree_util.register_dataclass
@@ -70,7 +90,13 @@ def delay_seconds(res: EpochResult, fs: float, interp_factor: int):
 
 @partial(
     jax.jit,
-    static_argnames=("nint", "conjugate_data", "compute_snr", "remove_mean"),
+    static_argnames=(
+        "nint",
+        "conjugate_data",
+        "compute_snr",
+        "remove_mean",
+        "fast",
+    ),
 )
 def correlate_epochs(
     d: jax.Array,
@@ -84,6 +110,8 @@ def correlate_epochs(
     compute_snr: bool = True,
     remove_mean: bool = True,
     fcode_interp: jax.Array | None = None,
+    fast: bool = False,
+    fine_matrix_ri: jax.Array | None = None,
 ) -> EpochResult:
     """Correlate a batch of epochs against the code spectrum.
 
@@ -98,10 +126,20 @@ def correlate_epochs(
       conjugate_data: claudio convention ``fcode * conj(ffty)``
         (``claudio_...separate.m:59``) instead of godual's
         ``ffty * (already conjugated) fcode`` (``godual_ranging.m:25-26``).
+      fast: interpolate only a window around the coarse (un-zoomed)
+        correlation peak instead of IFFT-ing the full zero-padded
+        spectrum: 3x less FFT work and the interpolation rides the MXU
+        (:func:`ops.zoomdft.fine_window`).  Window samples are exact;
+        the argmax is restricted to the window (identical results unless
+        two correlation peaks tie within noise).
+      fine_matrix_ri: static (L, W, 2) re/im matrix from
+        :func:`ops.zoomdft.fine_window_matrix` for the fast path (built
+        on the fly if omitted — prefer binding it once, it is ~L*W*8 B).
 
     Returns an :class:`EpochResult` of shape ``d.shape[:-1]``.
     """
     L = d.shape[-1]
+    M = (2 * nint + 1) * L
     dtype = d.dtype
     if remove_mean:
         d = d - jnp.mean(d, axis=-1, keepdims=True)
@@ -114,11 +152,37 @@ def correlate_epochs(
         prod = fcode * jnp.conj(ffty)
     else:
         prod = ffty * fcode
-    prnmap = jnp.fft.ifft(spectral_zoom(prod, nint), axis=-1)
 
-    mag = jnp.abs(prnmap)
-    indice = jnp.argmax(mag, axis=-1).astype(jnp.int32)
-    xm1, x0, xp1 = peak_neighbors(prnmap, indice)
+    if fast:
+        from amaranth_twstft_tpu.ops.zoomdft import fine_window_matrix
+
+        if fine_matrix_ri is None:
+            e = fine_window_matrix(L, nint, DEFAULT_FINE_WIDTH)
+            fine_matrix_ri = jnp.asarray(
+                np.stack([e.real, e.imag], axis=-1),
+                jnp.float64 if dtype == jnp.complex128 else jnp.float32,
+            )
+        W = fine_matrix_ri.shape[1]
+        # Coarse peak on the un-zoomed grid (1/(2*nint+1) the IFFT work;
+        # the zoomed map at multiples of (2*nint+1) is exactly the
+        # un-zoomed map scaled, so this argmax is exact on that subgrid).
+        coarse = jnp.fft.ifft(prod, axis=-1)
+        ci = jnp.argmax(jnp.abs(coarse), axis=-1).astype(jnp.int32)
+        win, base = fine_window(prod, ci, fine_matrix_ri, nint)
+        wmag = jnp.abs(win)
+        wi = jnp.argmax(wmag, axis=-1).astype(jnp.int32)
+        # Keep the parabola's neighbors inside the window (the peak sits
+        # mid-window by construction; the clamp is unreachable padding).
+        wi = jnp.clip(wi, 1, W - 2)
+        indice = jnp.mod(base + wi, M).astype(jnp.int32)
+        xm1 = take_circular(win, wi - 1)
+        x0 = take_circular(win, wi)
+        xp1 = take_circular(win, wi + 1)
+    else:
+        prnmap = jnp.fft.ifft(spectral_zoom(prod, nint), axis=-1)
+        mag = jnp.abs(prnmap)
+        indice = jnp.argmax(mag, axis=-1).astype(jnp.int32)
+        xm1, x0, xp1 = peak_neighbors(prnmap, indice)
     correction = parabolic_correction(
         jnp.abs(xm1), jnp.abs(x0), jnp.abs(xp1)
     )
@@ -140,19 +204,24 @@ def correlate_epochs(
         #   mean|yincode|^2 = sum|ffty|^2 / M^2,
         # so var = mean|yincode|^2 - |mean|^2 exactly.  Both conventions
         # align at a signal left-rotation: s = indice - 1 (godual) or
-        # s = -(indice + 1) mod M (claudio).
-        M = (2 * nint + 1) * L
+        # s = -(indice + 1) mod M (claudio).  Only ONE sample of that
+        # M-point IFFT is ever read, so it is evaluated directly as an
+        # O(L) reduction (:func:`ops.zoomdft.zoom_point`).
         if fcode_interp is None:
             fcode_interp = jnp.conj(jnp.fft.fft(code_interp.astype(dtype)))
-        zc = jnp.fft.ifft(
-            spectral_zoom(ffty, nint) * fcode_interp.astype(dtype), axis=-1
-        )
+        if fcode_interp.shape[-1] == M:
+            from amaranth_twstft_tpu.ops.zoomdft import zoom_positions
+
+            g = fcode_interp[
+                jnp.asarray(zoom_positions(L, nint).astype(np.int32))
+            ].astype(dtype)
+        else:
+            g = fcode_interp.astype(dtype)  # already gathered (L,)
         if conjugate_data:
             s = jnp.mod(-(indice + 1), M)
         else:
             s = jnp.mod(indice - 1, M)
-        mu = jnp.take_along_axis(zc, s[..., None].astype(jnp.int32), -1)[..., 0]
-        mu = mu / float(M)
+        mu = zoom_point(ffty, g, s, nint) / float(M)
         mean_abs2 = jnp.sum(jnp.abs(ffty) ** 2, axis=-1) / float(M) ** 2
         var = mean_abs2 - jnp.abs(mu) ** 2
         safe_var = jnp.where(var == 0, 1.0, var)

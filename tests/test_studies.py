@@ -1,0 +1,59 @@
+"""Estimator-behavior studies reproduce the reference's documented
+conclusions (experiments/221127_SNR/README.md, SURVEY.md §4.4)."""
+
+import numpy as np
+
+from amaranth_twstft_tpu.ops.lfsr import prn_chips
+from amaranth_twstft_tpu.ops.prn import chips_to_pm1
+from amaranth_twstft_tpu.studies import (
+    interpolation_effect,
+    snr_estimator_sweep,
+)
+from amaranth_twstft_tpu.models.twoway import cn0_dbhz
+
+
+def _code():
+    return chips_to_pm1(prn_chips(12, 0x53, 4000))
+
+
+def test_despreading_tracks_truth():
+    code = _code()
+    snr_true = np.logspace(-1.5, 1.5, 13)
+    out = snr_estimator_sweep(code, snr_true, seed=2)
+    # the despreading estimator tracks theory within ~1.5 dB everywhere
+    err = out["claudio_db"] - out["snr_th_db"]
+    assert np.max(np.abs(err)) < 1.5, err
+
+
+def test_xcorr_estimator_saturates_at_high_snr():
+    """Code self-noise hides the additive noise at high SNR
+    (experiments/221127_SNR/README.md:20-24): the xcorr estimate's slope
+    collapses while the despreading estimate keeps rising."""
+    code = _code()
+    snr_true = np.array([1.0, 10.0, 100.0, 1000.0])
+    out = snr_estimator_sweep(code, snr_true, seed=4)
+    xc = out["xcorr_db"]
+    cl = out["claudio_db"]
+    assert cl[-1] - cl[0] > 25  # despreading keeps tracking (30 dB span)
+    assert xc[-1] - xc[0] < 15  # xcorr saturates
+
+
+def test_interpolation_invariance():
+    """Despreading SNR is invariant under code ZOH interpolation
+    (interpolation_effect.m sweep)."""
+    code = _code()[:1000]
+    base = interpolation_effect(code, factors=(0.1, 1.0, 10.0), interp_code=1)
+    interp3 = interpolation_effect(code, factors=(0.1, 1.0, 10.0), interp_code=3)
+    # identical noise realization lengths differ; compare against theory
+    for out in (base, interp3):
+        err = 10 * np.log10(out["snr_claudio"] / out["snr_th"])
+        assert np.max(np.abs(err)) < 1.0, err
+
+
+def test_cn0_operating_point():
+    """C/N0 = 10log10(SNR*fs): the documented SATRE-like point, SNR=-13 dB
+    in fs=5 MHz -> ~54 dB.Hz (simu_snr.m:1-7, go_1s.m:124)."""
+    snr_lin = 10 ** (-13 / 10)
+    got = cn0_dbhz(np.full(5, snr_lin), np.zeros(5), 5e6)
+    assert abs(got - (10 * np.log10(snr_lin * 5e6))) < 1e-9
+    assert 53.0 < got < 55.0
