@@ -114,6 +114,36 @@ def main(argv: list[str] | None = None) -> int:
                    default="claudio")
     p.add_argument("--remote", action="store_true")
 
+    p = sub.add_parser("monitor", help="near-real-time follow of a growing "
+                       "capture (zmq_rx.py equivalent)")
+    p.add_argument("capture")
+    p.add_argument("code")
+    _add_signal_args(p)
+    p.add_argument("--channels", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=25,
+                   help="epochs per processing batch (default 1 s)")
+    p.add_argument("--timeout", type=float, default=10.0,
+                   help="stop after this many idle seconds")
+    p.add_argument("--once", action="store_true",
+                   help="process what is there and exit (no tailing)")
+
+    p = sub.add_parser("emit", help="synthesize a capture (FPGA TX chain + "
+                       "channel simulation at baseband)")
+    p.add_argument("output", help="sc16 output file")
+    _add_signal_args(p)
+    p.add_argument("--seconds", type=int, default=1)
+    p.add_argument("--delay", type=float, default=0.0, help="samples")
+    p.add_argument("--doppler", type=float, default=0.0, help="Hz")
+    p.add_argument("--amplitude", type=float, default=1000.0)
+    p.add_argument("--noise", type=float, default=100.0)
+    p.add_argument("--delay2", type=float, help="2nd channel delay (samples)")
+    p.add_argument("--doppler2", type=float, default=0.0)
+    p.add_argument("--qpsk", action="store_true")
+    p.add_argument("--taps-b", type=int, help="QPSK second LFSR taps")
+    p.add_argument("--timecode", choices=["off", "invert", "timecode"],
+                   default="off")
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("config", help="dump or round-trip a config JSON")
     p.add_argument("--load")
 
@@ -285,6 +315,73 @@ def _dispatch(args) -> int:
             )
         )
         return 0 if not rep.failed else 1
+
+    if args.cmd == "monitor":
+        import jax.numpy as jnp
+
+        from amaranth_twstft_tpu.models.godual import build_replica
+        from amaranth_twstft_tpu.models.twoway import cn0_dbhz
+        from amaranth_twstft_tpu.ops import doppler
+        from amaranth_twstft_tpu.ops.boundary import make_ranging_step, pack_complex
+        from amaranth_twstft_tpu.pipeline import follow_capture
+
+        sig = _signal(args)
+        from amaranth_twstft_tpu.config import ProcessingConfig
+
+        rep = build_replica(args.code, sig, ProcessingConfig())
+        mask = doppler.window_mask(sig.samples_per_code, sig.fs, -20e3, 20e3)
+        step = make_ranging_step(
+            np.asarray(rep.fcode), np.asarray(rep.code_interp), mask, sig.fs
+        )
+        print("# epoch ch delay_samp df_hz snr_db cn0_dbhz", flush=True)
+        for epoch0, ch, iq in follow_capture(
+            args.capture, sig, channels=args.channels,
+            epochs_per_batch=args.epochs, timeout_s=args.timeout,
+            stop_when_idle=args.once,
+        ):
+            out = step(jnp.asarray(pack_complex(iq)))
+            delay = out.delay_samples()
+            snr = out.snr_db()
+            cn0 = cn0_dbhz(
+                np.asarray(out.snr_r), np.asarray(out.snr_i), sig.fs
+            )
+            for i in range(len(delay)):
+                print(
+                    f"{epoch0 + i:6d} {ch} {delay[i]:12.4f} "
+                    f"{float(np.asarray(out.df)[i]):9.2f} {snr[i]:7.2f} "
+                    f"{cn0:6.2f}",
+                    flush=True,
+                )
+        return 0
+
+    if args.cmd == "emit":
+        from amaranth_twstft_tpu.config import Modulation, TimeCoderMode
+        from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+        from amaranth_twstft_tpu.utils import io as uio
+
+        sig = _signal(args)
+        tc = {"off": TimeCoderMode.OFF, "invert": TimeCoderMode.INVERT_FIRST_CODE,
+              "timecode": TimeCoderMode.TIMECODE}[args.timecode]
+        from dataclasses import replace
+
+        sig = replace(
+            sig,
+            modulation=Modulation.QPSK if args.qpsk else Modulation.BPSK,
+            taps_b=args.taps_b,
+            timecoder=tc,
+        )
+        chans = [ChannelSim(delay_samples=args.delay, doppler_hz=args.doppler,
+                            amplitude=args.amplitude, noise_sigma=args.noise)]
+        if args.delay2 is not None:
+            chans.append(ChannelSim(delay_samples=args.delay2,
+                                    doppler_hz=args.doppler2,
+                                    amplitude=args.amplitude,
+                                    noise_sigma=args.noise))
+        streams = synthesize_capture(sig, chans, n_seconds=args.seconds,
+                                     seed=args.seed)
+        uio.write_sc16(args.output, *streams)
+        print(args.output)
+        return 0
 
     if args.cmd == "config":
         from amaranth_twstft_tpu.config import TwstftConfig

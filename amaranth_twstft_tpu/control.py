@@ -41,6 +41,7 @@ __all__ = [
     "StationController",
     "EmulatedStation",
     "LoopbackTransport",
+    "PpsCalibrationBench",
 ]
 
 
@@ -353,3 +354,71 @@ class StationController:
                 h(self, code)
             n += 1
         return n
+
+
+@dataclass
+class PpsCalibrationBench:
+    """Emulated PPS-metastability calibration bench.
+
+    The reference drives a synthesizer's 10 MHz phase and a scope over
+    VXI-11, reading back the FPGA's reported PPS offsets and counting
+    PPS_EARLY "double jumps" near the metastable sampling window
+    (``experiments/250103_PPS_calibration/calibration.py:16-100``); the
+    gateware counterpart is the IDELAY auto-calibration FSM parking the
+    PPS sample away from the metastable edge (``clocking.py:134-191``).
+
+    This bench emulates the physics: the 280 MHz sync clock divides the
+    10 MHz period into ``cycles`` = 28 sampling positions
+    (``clocking.py:193-204``); sweeping the reference phase walks the PPS
+    across them, and within ``metastable_deg`` of a cycle boundary the
+    sampled phase resolves randomly to either neighbor — the double-jump
+    signature the lab bench quantifies.
+    """
+
+    station: EmulatedStation
+    controller: StationController
+    cycles: int = 28  # 280 MHz / 10 MHz
+    metastable_deg: float = 1.5  # half-width of the unstable zone
+    seed: int = 0
+
+    def sample_phase(self, phase_deg: float, rng) -> tuple[int, bool]:
+        """(pps_phase, metastable?) at one reference phase setting."""
+        pos = (phase_deg % 360.0) / 360.0 * self.cycles
+        lo = int(pos) % self.cycles
+        deg_per_cycle = 360.0 / self.cycles
+        dist_deg = min(pos - int(pos), 1.0 - (pos - int(pos))) * deg_per_cycle
+        meta = dist_deg < self.metastable_deg
+        if meta and rng.random() < 0.5:
+            # resolves to the neighboring cycle: the "double jump"
+            near_upper = (pos - int(pos)) > 0.5
+            lo = (lo + (1 if near_upper else -1)) % self.cycles
+        return lo, meta
+
+    def sweep(self, phases_deg, repeats: int = 5):
+        """Sweep the 10 MHz phase; per point, calibrate ``repeats`` times.
+
+        Returns rows ``(phase_deg, median_pps_phase, n_distinct,
+        early_events)`` — ``n_distinct > 1`` marks the metastable zones
+        (the bench's double-jump detection, ``calibration.py:72-89``).
+        """
+        import numpy as _np
+
+        rng = _np.random.default_rng(self.seed)
+        rows = []
+        for ph in phases_deg:
+            vals = []
+            early = 0
+            for _ in range(repeats):
+                v, meta = self.sample_phase(ph, rng)
+                self.station.pps_phase = v
+                got = self.controller.ask_calib()
+                vals.append(got)
+                if meta:
+                    self.station.transport.station_write(
+                        bytes([SerialOutCode.PPS_EARLY.value])
+                    )
+                    early += 1
+            rows.append(
+                (float(ph), float(_np.median(vals)), len(set(vals)), early)
+            )
+        return rows

@@ -72,7 +72,9 @@ class RangingOutputs:
 
 @partial(
     jax.jit,
-    static_argnames=("fs", "nint", "conjugate_data", "use_mask", "fast"),
+    static_argnames=(
+        "fs", "nint", "conjugate_data", "use_mask", "fast", "mxu_fft",
+    ),
 )
 def ranging_step(
     iq: jax.Array,
@@ -87,6 +89,7 @@ def ranging_step(
     fcode_interp_ri: jax.Array | None = None,
     fast: bool = False,
     fine_matrix_ri: jax.Array | None = None,
+    mxu_fft: bool = False,
 ) -> RangingOutputs:
     """One fused program: IQ f32 (B, L, 2) -> per-epoch estimates (real).
 
@@ -102,7 +105,9 @@ def ranging_step(
     if fcode_interp_ri is not None:
         fcode3 = jax.lax.complex(fcode_interp_ri[..., 0], fcode_interp_ri[..., 1])
     if use_mask:
-        df, _ = squaring_df(d - jnp.mean(d, axis=-1, keepdims=True), fs, mask)
+        df, _ = squaring_df(
+            d - jnp.mean(d, axis=-1, keepdims=True), fs, mask, mxu_fft=mxu_fft
+        )
     else:
         df = jnp.broadcast_to(df_fixed, d.shape[:-1])
     res = correlate_epochs(
@@ -116,6 +121,7 @@ def ranging_step(
         fcode_interp=fcode3,
         fast=fast,
         fine_matrix_ri=fine_matrix_ri,
+        mxu_fft=mxu_fft,
     )
     xval_ri = jnp.stack(
         [
@@ -147,6 +153,7 @@ def make_ranging_step(
     conjugate_data: bool = False,
     fast: bool = True,
     fine_width: int | None = None,
+    mxu_fft: bool | None = None,
 ):
     """Bind replica/mask once; return ``step(iq_f32, df_fixed=None)``.
 
@@ -158,7 +165,21 @@ def make_ranging_step(
     identical results except for noise-tied peaks; the interpolated-code
     spectrum is pre-gathered at the zoom positions host-side so only
     O(L) constants are uploaded.
+
+    ``mxu_fft=None`` auto-selects: matmul-staged transforms
+    (:mod:`ops.mxufft`) on accelerators, XLA FFT on CPU.
     """
+    import jax as _jax
+
+    if mxu_fft is None:
+        mxu_fft = _jax.devices()[0].platform != "cpu"
+    if mxu_fft:
+        from amaranth_twstft_tpu.ops.mxufft import good_factors
+
+        try:
+            good_factors(int(np.asarray(fcode).shape[-1]))
+        except ValueError:
+            mxu_fft = False  # length has a large prime factor
     from amaranth_twstft_tpu.ops.correlator import DEFAULT_FINE_WIDTH
     from amaranth_twstft_tpu.ops.zoomdft import fine_window_matrix, zoom_gather
 
@@ -183,11 +204,13 @@ def make_ranging_step(
                 iq, fcode_ri, code3, mask_j, jnp.float32(0.0), fs,
                 nint=nint, conjugate_data=conjugate_data, use_mask=True,
                 fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
+                mxu_fft=mxu_fft,
             )
         return ranging_step(
             iq, fcode_ri, code3, mask_j, jnp.asarray(df_fixed, jnp.float32),
             fs, nint=nint, conjugate_data=conjugate_data, use_mask=False,
             fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
+            mxu_fft=mxu_fft,
         )
 
     return step

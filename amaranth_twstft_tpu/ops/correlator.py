@@ -96,6 +96,7 @@ def delay_seconds(res: EpochResult, fs: float, interp_factor: int):
         "compute_snr",
         "remove_mean",
         "fast",
+        "mxu_fft",
     ),
 )
 def correlate_epochs(
@@ -112,6 +113,7 @@ def correlate_epochs(
     fcode_interp: jax.Array | None = None,
     fast: bool = False,
     fine_matrix_ri: jax.Array | None = None,
+    mxu_fft: bool = False,
 ) -> EpochResult:
     """Correlate a batch of epochs against the code spectrum.
 
@@ -135,18 +137,29 @@ def correlate_epochs(
       fine_matrix_ri: static (L, W, 2) re/im matrix from
         :func:`ops.zoomdft.fine_window_matrix` for the fast path (built
         on the fly if omitted — prefer binding it once, it is ~L*W*8 B).
+      mxu_fft: run the transforms as MXU matmul stages
+        (:mod:`ops.mxufft`) — ~7x faster than the XLA FFT at the
+        production mixed-radix L=200000 on TPU; keep False on CPU.
 
     Returns an :class:`EpochResult` of shape ``d.shape[:-1]``.
     """
     L = d.shape[-1]
     M = (2 * nint + 1) * L
     dtype = d.dtype
+    if mxu_fft:
+        from amaranth_twstft_tpu.ops.mxufft import fft_factored
+
+        fft = lambda v: fft_factored(v)
+        ifft = lambda v: fft_factored(v, inverse=True)
+    else:
+        fft = partial(jnp.fft.fft, axis=-1)
+        ifft = partial(jnp.fft.ifft, axis=-1)
     if remove_mean:
         d = d - jnp.mean(d, axis=-1, keepdims=True)
 
     lo = mix_phasor(L, df_hz, fs, dtype=dtype)
     y = d * lo
-    ffty = jnp.fft.fft(y, axis=-1)
+    ffty = fft(y)
 
     if conjugate_data:
         prod = fcode * jnp.conj(ffty)
@@ -166,7 +179,7 @@ def correlate_epochs(
         # Coarse peak on the un-zoomed grid (1/(2*nint+1) the IFFT work;
         # the zoomed map at multiples of (2*nint+1) is exactly the
         # un-zoomed map scaled, so this argmax is exact on that subgrid).
-        coarse = jnp.fft.ifft(prod, axis=-1)
+        coarse = ifft(prod)
         ci = jnp.argmax(jnp.abs(coarse), axis=-1).astype(jnp.int32)
         win, base = fine_window(prod, ci, fine_matrix_ri, nint)
         wmag = jnp.abs(win)
@@ -179,7 +192,7 @@ def correlate_epochs(
         x0 = take_circular(win, wi)
         xp1 = take_circular(win, wi + 1)
     else:
-        prnmap = jnp.fft.ifft(spectral_zoom(prod, nint), axis=-1)
+        prnmap = ifft(spectral_zoom(prod, nint))
         mag = jnp.abs(prnmap)
         indice = jnp.argmax(mag, axis=-1).astype(jnp.int32)
         xm1, x0, xp1 = peak_neighbors(prnmap, indice)
@@ -208,7 +221,7 @@ def correlate_epochs(
         # M-point IFFT is ever read, so it is evaluated directly as an
         # O(L) reduction (:func:`ops.zoomdft.zoom_point`).
         if fcode_interp is None:
-            fcode_interp = jnp.conj(jnp.fft.fft(code_interp.astype(dtype)))
+            fcode_interp = jnp.conj(fft(code_interp.astype(dtype)))
         if fcode_interp.shape[-1] == M:
             from amaranth_twstft_tpu.ops.zoomdft import zoom_positions
 

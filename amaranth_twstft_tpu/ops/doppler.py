@@ -48,10 +48,43 @@ def window_mask(n: int, fs: float, lo_hz: float, hi_hz: float) -> np.ndarray:
     return (freq > lo_hz) & (freq < hi_hz)
 
 
-@jax.jit
-def squaring_spectrum(d: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("mxu_fft",))
+def squaring_spectrum(d: jax.Array, mxu_fft: bool = False) -> jax.Array:
     """``fftshift(abs(fft(d^2)))`` along the last axis."""
-    return jnp.fft.fftshift(jnp.abs(jnp.fft.fft(d * d, axis=-1)), axes=-1)
+    return jnp.fft.fftshift(
+        _squaring_spectrum_unshifted(d, mxu_fft=mxu_fft), axes=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("mxu_fft",))
+def _squaring_spectrum_unshifted(d: jax.Array, mxu_fft: bool = False):
+    """``abs(fft(d^2))`` in natural bin order.
+
+    The df estimators mask + argmax this in *unshifted* order and remap
+    the index instead of fftshift-ing the data: on TPU the
+    roll-into-masked-argmax fusion is pathological (measured 41.6 ms for
+    the fused pair vs 5.6 ms unshifted at (50, 200000) — the shift and
+    the argmax cost < 5 ms each in isolation).
+    """
+    if mxu_fft:
+        from amaranth_twstft_tpu.ops.mxufft import fft_factored
+
+        sq = fft_factored(d * d)
+    else:
+        sq = jnp.fft.fft(d * d, axis=-1)
+    return jnp.abs(sq)
+
+
+def _masked_argmax_shifted(sp_unshifted: jax.Array, mask_shifted) -> jax.Array:
+    """argmax over the fftshift-ed spectrum, without shifting the data:
+    roll the (tiny) mask the other way, then remap the winning index to
+    the shifted axis.  Exactly ``_masked_argmax(fftshift(sp), mask)`` up
+    to tie order."""
+    n = sp_unshifted.shape[-1]
+    half = n // 2
+    mask_un = jnp.roll(jnp.asarray(mask_shifted), half)
+    idx_un = _masked_argmax(sp_unshifted, mask_un)
+    return jnp.mod(idx_un - half, n)
 
 
 @jax.jit
@@ -64,15 +97,16 @@ def _masked_argmax(x: jax.Array, mask: jax.Array):
     return jnp.argmax(xm, axis=-1)
 
 
-def squaring_df(d: jax.Array, fs: float, mask: np.ndarray):
+def squaring_df(d: jax.Array, fs: float, mask: np.ndarray,
+                mxu_fft: bool = False):
     """Per-epoch df: argmax of the squaring spectrum inside ``mask``.
 
     Returns (df_hz, bin_index).  ``freq[argmax]/2`` with the reference's
     inclusive linspace axis (``godual_ranging.m:14-15,73``).
     """
     n = d.shape[-1]
-    d2 = squaring_spectrum(d)
-    idx = _masked_argmax(d2, jnp.asarray(mask))
+    d2 = _squaring_spectrum_unshifted(d, mxu_fft=mxu_fft)
+    idx = _masked_argmax_shifted(d2, mask)
     freq = jnp.asarray(fftfreq_shifted(n, fs), d2.dtype)
     return freq[idx] / 2.0, idx
 
@@ -100,7 +134,7 @@ def per_file_df(
     lo = jnp.cos(ang) + 1j * jnp.sin(ang)
     xm = x * lo.astype(x.dtype)
     xm = xm - jnp.mean(xm, axis=-1, keepdims=True)
-    d2 = squaring_spectrum(xm)
+    d2 = _squaring_spectrum_unshifted(xm)
     freq = fftfreq_shifted(m, fs / decim)
     if windowed:
         # C++ kmin/kmax: the last indices with freq <= -2*frange and
@@ -108,7 +142,7 @@ def per_file_df(
         mask = (freq > -2.0 * frange_hz) & (freq < 2.0 * frange_hz)
     else:
         mask = np.ones(m, dtype=bool)
-    idx = _masked_argmax(d2, jnp.asarray(mask))
+    idx = _masked_argmax_shifted(d2, mask)
     return jnp.asarray(freq, d2.dtype)[idx] / 2.0 + foffset_hz
 
 

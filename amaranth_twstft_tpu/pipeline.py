@@ -27,6 +27,7 @@ __all__ = [
     "retry_until_valid",
     "process_directory",
     "gzip_archives",
+    "follow_capture",
 ]
 
 
@@ -154,6 +155,59 @@ def process_directory(
             io.move_to_done(cap)
         report.processed.append(cap)
     return report
+
+
+def follow_capture(
+    path: str,
+    signal: SignalConfig,
+    *,
+    channels: int = 2,
+    epochs_per_batch: int = 25,
+    poll_s: float = 0.2,
+    timeout_s: float = 10.0,
+    stop_when_idle: bool = False,
+):
+    """Near-real-time monitor of a *growing* capture file.
+
+    The reference streams X310 samples over ZMQ into a live Qt display
+    (``experiments/2403/x310_twstft_gr.py``, ``zmq_rx.py:1-285``); the
+    file-level equivalent here tails the capture as the SDR writes it and
+    yields ``(epoch_index, channel, iq_batch)`` tuples as soon as a full
+    batch of code periods is available per channel.  Stops after
+    ``timeout_s`` without growth (acquisition ended), or as soon as no
+    new full batch is buffered when ``stop_when_idle`` (for tests).
+    """
+    L = signal.samples_per_code
+    consumed = 0  # complete batches yielded
+    idle = 0.0
+    while True:
+        try:
+            avail = io.n_samples_sc16(path, channels=channels)
+        except OSError:
+            avail = 0
+        ready = int(avail // (epochs_per_batch * L))
+        if ready > consumed:
+            idle = 0.0
+            for b in range(consumed, ready):
+                d, n = io.read_sc16_epochs(
+                    path,
+                    b * epochs_per_batch * L,
+                    epochs_per_batch,
+                    L,
+                    channels=channels,
+                )
+                if n == 0:
+                    break
+                for ch in range(channels):
+                    yield b * epochs_per_batch, ch, d[ch]
+            consumed = ready
+        else:
+            if stop_when_idle:
+                return
+            idle += poll_s
+            if idle >= timeout_s:
+                return
+            time.sleep(poll_s)
 
 
 def gzip_archives(directory: str, pattern: str = "*.mat") -> list[str]:

@@ -157,3 +157,37 @@ def test_gofinal_roundtrip(tmp_path):
     np.testing.assert_allclose(rows[:, 6], 600.0 / 3 / 1e5, atol=1e-7)
     # idempotent
     assert gofinal.extract_session(local, remote, fs=1e5, out_txt=out_txt) is None
+
+
+def test_pps_calibration_bench_sweep():
+    """The emulated metastability bench reproduces the lab bench's
+    signature (experiments/250103_PPS_calibration): a 28-step staircase
+    of pps_phase vs reference phase, double jumps confined to narrow
+    zones at the step boundaries."""
+    import numpy as np
+
+    from amaranth_twstft_tpu.control import (
+        EmulatedStation,
+        LoopbackTransport,
+        PpsCalibrationBench,
+        StationController,
+    )
+
+    t = LoopbackTransport()
+    st = EmulatedStation(t)
+    ctl = StationController(t, station=st)
+    bench = PpsCalibrationBench(st, ctl, seed=7)
+    phases = np.arange(0.0, 360.0, 0.25)
+    rows = bench.sweep(phases, repeats=6)
+    med = np.array([r[1] for r in rows])
+    ndist = np.array([r[2] for r in rows])
+    early = np.array([r[3] for r in rows])
+    # staircase covers all 28 positions
+    assert set(np.unique(med).astype(int)) >= set(range(28))
+    # double jumps only in metastable zones, which are a small fraction
+    meta_frac = np.mean(ndist > 1)
+    assert 0.0 < meta_frac < 0.35
+    # wherever repeated calibrations disagree, early events were flagged
+    assert np.all(early[ndist > 1] > 0)
+    # stable plateaus report a consistent phase
+    assert np.all(ndist[early == 0] == 1)
