@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,10 +81,28 @@ class _Acc:
     moved: list = field(default_factory=list)  # 1-based epoch indices
 
 
-def _correlate_windows(d_block, offsets, rep, proc, df, fs, dtype):
-    """Correlate windows of ``d_block`` starting at ``offsets`` (host)."""
+def _correlate_windows(d_block, offsets, rep, proc, df, fs, dtype,
+                       step=None, pad_to=0):
+    """Correlate windows of ``d_block`` starting at ``offsets`` (host).
+
+    With ``step`` (a bound boundary ranging step), runs on the
+    accelerator through real-valued I/O, zero-padded to the fixed batch
+    ``pad_to`` so every block reuses the one compiled program (dynamic
+    batch sizes would recompile through the axon relay per shape).
+    """
     L = rep.samples_per_code
     wins = np.stack([d_block[o : o + L] for o in offsets])
+    if step is not None:
+        from amaranth_twstft_tpu.ops import boundary
+
+        n = len(offsets)
+        if pad_to > n:
+            wins = np.concatenate(
+                [wins, np.zeros((pad_to - n, L), wins.dtype)]
+            )
+        outs = step(jnp.asarray(boundary.pack_complex(wins)), df_fixed=df)
+        full = boundary.to_epoch_result(outs)
+        return jax.tree_util.tree_map(lambda a: a[:n], full)
     res = correlate_epochs(
         jnp.asarray(wins),
         jnp.asarray(rep.fcode),
@@ -135,6 +154,18 @@ def process_file(
     lo_hz, hi_hz = claudio_df_window(station, ranging)
     np_dtype = np.complex128 if dtype == jnp.complex128 else np.complex64
 
+    from amaranth_twstft_tpu.ops import boundary
+
+    accel = boundary.on_accelerator()
+    step = None
+    pad_to = 0
+    if accel:
+        step = boundary.make_ranging_step(
+            np.asarray(rep.fcode), np.asarray(rep.code_interp),
+            np.ones(L, bool), fs, nint=proc.nint, conjugate_data=True,
+        )
+        pad_to = block // L + 2  # max windows in a carry-extended block
+
     acc = _Acc()
     n_total = io.n_samples_sc16(capture_path, channels=1)
 
@@ -149,14 +180,31 @@ def process_file(
         if n == 0:
             break
         dblk = d[0, 0]
-        kbon, _ = search_df_candidates(
-            jnp.asarray(dblk),
-            jnp.asarray(dblk[:L] - dblk[:L].mean()),
-            jnp.asarray(rep.fcode),
-            fs,
-            mask,
-            threshold=proc.df_threshold,
-        )
+        if accel:
+            from amaranth_twstft_tpu.ops.doppler import search_df_candidates_ri
+
+            kb, _ = search_df_candidates_ri(
+                jnp.asarray(boundary.pack_complex(dblk)),
+                jnp.asarray(
+                    boundary.pack_complex(dblk[:L] - dblk[:L].mean())
+                ),
+                jnp.asarray(
+                    boundary.pack_complex(np.asarray(rep.fcode))
+                ),
+                fs,
+                jnp.asarray(mask),
+                threshold=proc.df_threshold,
+            )
+            kbon = int(kb)
+        else:
+            kbon, _ = search_df_candidates(
+                jnp.asarray(dblk),
+                jnp.asarray(dblk[:L] - dblk[:L].mean()),
+                jnp.asarray(rep.fcode),
+                fs,
+                mask,
+                threshold=proc.df_threshold,
+            )
         if kbon >= 0:
             break
         pos += block
@@ -180,7 +228,16 @@ def process_file(
         # reference refreshes on the carry-extended block; we refresh on
         # the fixed-length raw block so every refresh compiles to the one
         # cached program (variable-length FFTs would recompile per block).
-        df_val = float(refresh_df(jnp.asarray(d[0, 0]), fs, kbon)[0])
+        if accel:
+            from amaranth_twstft_tpu.ops.doppler import refresh_df_ri
+
+            df_val = float(
+                refresh_df_ri(
+                    jnp.asarray(boundary.pack_complex(d[0, 0])), fs, kbon
+                )[0]
+            )
+        else:
+            df_val = float(refresh_df(jnp.asarray(d[0, 0]), fs, kbon)[0])
 
         # ---- batched window extraction + masked slip recompute --------
         offsets = list(range(0, len(dcat) - L + 1, L))
@@ -189,7 +246,8 @@ def process_file(
             continue
         n_win = len(offsets)
         offsets = np.asarray(offsets, dtype=np.int64)
-        res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype)
+        res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype,
+                                 step=step, pad_to=pad_to)
         for _pass in range(max_slip_passes):
             ind3 = np.asarray(res.indice, dtype=np.float64)
             indice_ni = ind3 / proc.interp_factor  # non-interp grid (0-based)
@@ -216,7 +274,8 @@ def process_file(
             if n_win == 0:
                 break
             acc.moved.append(p + first)
-            res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype)
+            res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype,
+                                 step=step, pad_to=pad_to)
 
         if n_win:
             ind3 = np.asarray(res.indice, dtype=np.float64)

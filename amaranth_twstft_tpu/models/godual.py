@@ -44,12 +44,18 @@ __all__ = ["Replica", "build_replica", "df_window", "ChannelArrays", "process_fi
 
 @dataclass(frozen=True)
 class Replica:
-    """Everything derived from the PRN code file, device-resident."""
+    """Everything derived from the PRN code file.
+
+    Host-resident (NumPy): complex arrays must not cross the device
+    boundary eagerly on the axon TPU (``ops/boundary.py``); the jitted
+    kernels convert on entry, and the accelerated paths re-pack as
+    re/im pairs.
+    """
 
     code: np.ndarray  # +/-1 at fs (L,)
-    fcode: jnp.ndarray  # replica spectrum (conjugated unless claudio)
-    code_interp: jnp.ndarray  # +/-1 on the (2*nint+1) grid
-    fcode_interp: jnp.ndarray  # conj FFT of code_interp (SNR identity)
+    fcode: np.ndarray  # replica spectrum (conjugated unless claudio)
+    code_interp: np.ndarray  # +/-1 on the (2*nint+1) grid
+    fcode_interp: np.ndarray  # conj FFT of code_interp (SNR identity)
     samples_per_code: int
 
 
@@ -66,12 +72,12 @@ def build_replica(
     code = chips_to_pm1(upsample_zoh(chips, signal.samples_per_chip))
     fcode = code_spectrum(
         code, conj=conjugate, hamming_window=proc.hamming_window
-    ).astype(dtype)
-    real_dtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    ).astype(np.complex64 if dtype == jnp.complex64 else np.complex128)
+    real_dtype = np.float32 if dtype == jnp.complex64 else np.float64
     code3_np = interp_code(code, proc.interp_factor)
-    code3 = jnp.asarray(code3_np, real_dtype)
+    code3 = code3_np.astype(real_dtype)
     np_c = np.complex64 if dtype == jnp.complex64 else np.complex128
-    fcode3 = jnp.asarray(np.conj(np.fft.fft(code3_np)).astype(np_c))
+    fcode3 = np.conj(np.fft.fft(code3_np)).astype(np_c)
     return Replica(
         code=code,
         fcode=fcode,
@@ -171,6 +177,18 @@ def process_file(
     n_chan = 1 if remote else 2
     chans = [ChannelArrays() for _ in range(n_chan)]
 
+    # On an accelerator, run through the real-valued boundary layer (one
+    # fused fast-path program; complex buffers cannot cross the axon TPU
+    # program boundary).  The CPU path keeps exact float64-capable kernels.
+    from amaranth_twstft_tpu.ops import boundary
+
+    accel = boundary.on_accelerator()
+    if accel:
+        step = boundary.make_ranging_step(
+            np.asarray(rep.fcode), np.asarray(rep.code_interp), mask,
+            signal.fs, nint=proc.nint,
+        )
+
     start = 0
     while True:
         d, n = io.read_sc16_epochs(
@@ -185,17 +203,22 @@ def process_file(
             break
         start += n * L
         for c in range(n_chan):
-            dc = jnp.asarray(d[c, :n])
-            df, _ = squaring_df(dc, signal.fs, mask)
-            res = correlate_epochs(
-                dc,
-                rep.fcode,
-                df.astype(rep.code_interp.dtype),
-                rep.code_interp,
-                signal.fs,
-                nint=proc.nint,
-                fcode_interp=rep.fcode_interp,
-            )
+            if accel:
+                outs = step(jnp.asarray(boundary.pack_complex(d[c, :n])))
+                df = np.asarray(outs.df)
+                res = boundary.to_epoch_result(outs)
+            else:
+                dc = jnp.asarray(d[c, :n])
+                df, _ = squaring_df(dc, signal.fs, mask)
+                res = correlate_epochs(
+                    dc,
+                    rep.fcode,
+                    df.astype(rep.code_interp.dtype),
+                    rep.code_interp,
+                    signal.fs,
+                    nint=proc.nint,
+                    fcode_interp=rep.fcode_interp,
+                )
             chans[c].extend(res, df)
             if verbose:
                 delays = (

@@ -63,33 +63,37 @@ def process_file(
     L = rep.samples_per_code
 
     # --- per-file df pre-pass (decimated squaring FFT) -----------------
+    from amaranth_twstft_tpu.ops import boundary
+    from amaranth_twstft_tpu.ops.doppler import per_file_df_ri
+
+    accel = boundary.on_accelerator()
     np_dtype = np.complex64 if dtype == jnp.complex64 else np.complex128
     dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2, dtype=np_dtype)
-    df1 = float(
-        per_file_df(
-            jnp.asarray(dec[0]),
-            signal.fs,
-            proc.df_decimation,
-            foffset_hz=foffset_hz,
-            windowed=True,
-        )
-    )
-    dfs = [df1]
-    if not remote:
-        df2 = float(
-            per_file_df(
-                jnp.asarray(dec[1]),
-                signal.fs,
-                proc.df_decimation,
-                foffset_hz=foffset_hz,
-                windowed=False,  # main.cpp:442 searches the whole spectrum
+
+    def _pfd(x, windowed):
+        if accel:
+            return per_file_df_ri(
+                jnp.asarray(boundary.pack_complex(x)), signal.fs,
+                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
             )
+        return per_file_df(
+            jnp.asarray(x), signal.fs, proc.df_decimation,
+            foffset_hz=foffset_hz, windowed=windowed,
         )
-        dfs.append(df2)
+
+    dfs = [float(_pfd(dec[0], True))]
+    if not remote:
+        # main.cpp:442 searches the whole spectrum for channel 2
+        dfs.append(float(_pfd(dec[1], False)))
 
     # --- epoch loop with fixed df --------------------------------------
     n_chan = 1 if remote else 2
     chans = [ChannelArrays() for _ in range(n_chan)]
+    if accel:
+        step = boundary.make_ranging_step(
+            np.asarray(rep.fcode), np.asarray(rep.code_interp),
+            np.ones(L, bool), signal.fs, nint=proc.nint,
+        )
     start = 0
     while True:
         d, n = io.read_sc16_epochs(
@@ -99,12 +103,20 @@ def process_file(
             break
         start += n * L
         for c in range(n_chan):
-            dc = jnp.asarray(d[c, :n])
-            df_vec = jnp.full((n,), dfs[c], dtype=rep.code_interp.dtype)
-            res = correlate_epochs(
-                dc, rep.fcode, df_vec, rep.code_interp, signal.fs,
-                nint=proc.nint, fcode_interp=rep.fcode_interp,
-            )
+            if accel:
+                outs = step(
+                    jnp.asarray(boundary.pack_complex(d[c, :n])),
+                    df_fixed=dfs[c],
+                )
+                res = boundary.to_epoch_result(outs)
+                df_vec = np.full((n,), dfs[c])
+            else:
+                dc = jnp.asarray(d[c, :n])
+                df_vec = jnp.full((n,), dfs[c], dtype=rep.code_interp.dtype)
+                res = correlate_epochs(
+                    dc, rep.fcode, df_vec, rep.code_interp, signal.fs,
+                    nint=proc.nint, fcode_interp=rep.fcode_interp,
+                )
             chans[c].extend(res, df_vec)
         if n < batch_epochs:
             break

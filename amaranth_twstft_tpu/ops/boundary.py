@@ -28,7 +28,18 @@ __all__ = [
     "RangingOutputs",
     "ranging_step",
     "make_ranging_step",
+    "to_epoch_result",
+    "on_accelerator",
 ]
+
+
+def on_accelerator() -> bool:
+    """True when the default JAX backend is not the host CPU — used by the
+    file chains to route through the real-valued boundary layer (complex
+    arrays cannot cross the axon TPU program boundary)."""
+    import jax as _jax
+
+    return _jax.devices()[0].platform != "cpu"
 
 
 def pack_complex(z: np.ndarray) -> np.ndarray:
@@ -214,3 +225,28 @@ def make_ranging_step(
         )
 
     return step
+
+
+def to_epoch_result(out: RangingOutputs):
+    """Host-side adapter: :class:`RangingOutputs` (all-real, TPU-fetchable)
+    back into the :class:`ops.correlator.EpochResult` shape the file
+    chains accumulate (complex xval reassembled on host)."""
+    from amaranth_twstft_tpu.ops.correlator import EpochResult
+
+    ri = np.asarray(out.xval_ri)
+
+    def mk(i):
+        return ri[..., i, 0] + 1j * ri[..., i, 1]
+
+    return EpochResult(
+        indice=np.asarray(out.indice),
+        correction=np.asarray(out.correction),
+        xval=mk(1),
+        xvalm1=mk(0),
+        xvalp1=mk(2),
+        snr_r=np.asarray(out.snr_r),
+        snr_i=np.asarray(out.snr_i),
+        puissance=np.asarray(out.puissance),
+        puissance_code=np.asarray(out.puissance_code),
+        puissance_noise=np.asarray(out.puissance_noise),
+    )

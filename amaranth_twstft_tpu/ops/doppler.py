@@ -33,6 +33,7 @@ __all__ = [
     "squaring_spectrum",
     "squaring_df",
     "per_file_df",
+    "per_file_df_ri",
     "search_df_candidates",
     "refresh_df",
     "fine_df_phase_drift",
@@ -253,3 +254,58 @@ def fine_df_phase_drift(
     dt = t - tm
     slope = jnp.sum(dt * (smoothed - pm), axis=-1) / jnp.sum(dt * dt)
     return slope / (2.0 * jnp.pi)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fs", "decim", "foffset_hz", "frange_hz", "windowed"),
+)
+def per_file_df_ri(
+    x_ri: jax.Array,
+    fs: float,
+    decim: int,
+    foffset_hz: float = 0.0,
+    frange_hz: float = 8000.0,
+    windowed: bool = True,
+) -> jax.Array:
+    """Boundary-safe :func:`per_file_df`: float32 (..., 2) in, float out
+    (one fused program — required on the axon TPU where complex arrays
+    cannot cross the program boundary, and eager op-by-op execution
+    would)."""
+    x = jax.lax.complex(x_ri[..., 0], x_ri[..., 1])
+    return per_file_df(x, fs, decim, foffset_hz, frange_hz, windowed)
+
+
+@partial(jax.jit, static_argnames=("fs", "halfwidth"))
+def refresh_df_ri(x_ri: jax.Array, fs: float, kbon, halfwidth: int = 3):
+    """Boundary-safe :func:`refresh_df` (float (..., 2) in, real out)."""
+    d = jax.lax.complex(x_ri[..., 0], x_ri[..., 1])
+    df, idx = refresh_df(d, fs, jnp.asarray(kbon, jnp.int32), halfwidth)
+    return df, idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fs", "max_candidates", "notch_halfwidth"),
+)
+def search_df_candidates_ri(
+    d_ri: jax.Array,
+    dcode_ri: jax.Array,
+    fcode_ri: jax.Array,
+    fs: float,
+    mask: jax.Array,
+    threshold: float = 20.0,
+    snr_threshold: float = 100.0,
+    max_candidates: int = 32,
+    notch_halfwidth: int = 5,
+):
+    """Boundary-safe :func:`search_df_candidates` (all-real I/O)."""
+    d = jax.lax.complex(d_ri[..., 0], d_ri[..., 1])
+    dcode = jax.lax.complex(dcode_ri[..., 0], dcode_ri[..., 1])
+    fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
+    n = d.shape[-1]
+    freq = jnp.asarray(fftfreq_shifted(n, fs), jnp.float32)
+    return _search_df_jit(
+        d, dcode, fcode, mask, freq, fs, threshold, snr_threshold,
+        max_candidates=max_candidates, notch_halfwidth=notch_halfwidth,
+    )

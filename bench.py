@@ -74,27 +74,40 @@ def main() -> None:
     _ = np.asarray(out.indice)  # d2h is the only reliable sync on the relay
     print(f"compile+first run: {time.time()-t0:.1f} s", file=sys.stderr)
 
-    # Chain iterations through a data dependency (a bias derived from the
-    # previous output folded into the input) so the device must execute
-    # them sequentially, then sync once via d2h.  block_until_ready does
-    # not truly synchronize through the axon relay; per-iter d2h would
-    # add ~0.1-0.5 s relay RTT per step.
-    import jax.numpy as jnp2
+    # Run the whole iteration loop inside ONE program: iterations chain
+    # through a data dependency (a bias derived from the previous output
+    # folded into the input) so the device executes them sequentially,
+    # and a single d2h fetch at the end is the sync.  Per-step host
+    # dispatches through the axon relay cost ~15 ms each and would
+    # dominate (measured 89 ms/step dispatched vs 17 ms/step looped).
+    import jax
 
     iters = 20
-    bias = jnp2.float32(0.0)
+
+    @jax.jit
+    def run(iq):
+        def body(_, carry):
+            bias, acc = carry
+            out = step(iq + bias * 1e-30)
+            b2 = (
+                jnp.sum(out.correction)
+                + jnp.sum(out.snr_r)
+                + jnp.sum(out.puissance)
+            ).astype(jnp.float32)
+            return (b2, acc + b2)
+
+        return jax.lax.fori_loop(0, iters, body, (jnp.float32(0), jnp.float32(0)))
+
     t0 = time.time()
-    for _ in range(iters):
-        out = step(iq + bias * 1e-30)
-        bias = (
-            jnp2.sum(out.correction)
-            + jnp2.sum(out.snr_r)
-            + jnp2.sum(out.puissance)
-        ).astype(jnp2.float32)
-    _ = float(np.asarray(bias))
+    _ = float(np.asarray(run(iq)[1]))
+    compile2 = time.time() - t0
+    t0 = time.time()
+    _ = float(np.asarray(run(iq)[1]))
     dt = time.time() - t0
+    print(f"loop compile {compile2:.1f} s", file=sys.stderr)
     samples_per_s = B * L * iters / dt
 
+    out = step(iq)
     delay = out.delay_samples()[0]
     print(
         f"{iters} steps x {B} epochs in {dt:.3f} s -> "
