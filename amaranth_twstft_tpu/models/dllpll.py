@@ -173,7 +173,6 @@ def _v2_to_dbm(v2: float) -> float:
     return 10.0 * np.log10(max(v2, 1e-30) / 50.0 * 1000.0)
 
 
-@jax.jit
 def _lag_bank_correlate(obs_ri, wav_lags):
     """MXU lag-bank correlation: (codes, nobs) x (nobs, nlags).
 
@@ -181,13 +180,13 @@ def _lag_bank_correlate(obs_ri, wav_lags):
     ``wav_lags``: (nobs, nlags) float32.
     Returns power (codes, nlags) and phase (codes, nlags).
     The reference performs the same contraction with one DGEMM over an
-    interleaved re/im observation matrix (``rxcomplex.cpp:605``).
+    interleaved re/im observation matrix (``rxcomplex.cpp:605``); on TPU
+    it runs as the Pallas K-tiled kernel with the power/phase epilogue
+    fused (:mod:`amaranth_twstft_tpu.ops.lagbank`).
     """
-    re = jnp.dot(obs_ri[0], wav_lags, preferred_element_type=jnp.float32)
-    im = jnp.dot(obs_ri[1], wav_lags, preferred_element_type=jnp.float32)
-    power = 0.5 * (re * re + im * im)
-    phase = jnp.arctan2(-im, re) / (2.0 * jnp.pi)
-    return power, phase
+    from amaranth_twstft_tpu.ops.lagbank import lag_bank_correlate
+
+    return lag_bank_correlate(obs_ri, wav_lags)
 
 
 @jax.jit
