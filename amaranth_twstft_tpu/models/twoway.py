@@ -247,6 +247,60 @@ def solve_session(
     )
 
 
+def carrier_phase_refine(
+    xval: np.ndarray,
+    epochs_per_second: float = 25.0,
+    sigma_gate: float = 3.0,
+) -> dict:
+    """Carrier-phase refinement from the complex correlation peaks.
+
+    The DLL/PLL receiver refines frequency and phase from the per-code
+    carrier phases (``rxcomplex.cpp:702-744``): phase of each peak in
+    cycles, sequential BPSK half-cycle ambiguity unwrap (each phase is
+    folded by 0.5-cycle steps to within 0.25 of the previous accepted
+    one, :702-720), median/IQR 3-sigma outlier weights (:699-700), then
+    a weighted linear fit phase ~ phi0 + df*t whose slope is the refined
+    frequency (:728-731).  Applied here to the two-way chains' saved
+    ``xval`` peaks (BASELINE configs[2]: "per-second time offsets with
+    carrier-phase refinement").
+
+    Returns ``{"phi_cycles", "weights", "phi0_cycles", "df_hz", "sigma"}``.
+    """
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.ops.peaks import (
+        median_iqr_sigma,
+        weighted_linear_fit,
+    )
+
+    xval = np.asarray(xval)
+    n = len(xval)
+    phi = np.angle(xval) / (2.0 * np.pi)  # cycles in (-0.5, 0.5]
+    unwrapped = np.empty(n)
+    last = phi[0] if n else 0.0
+    for i in range(n):
+        folded = phi[i] - 0.5 * np.round((phi[i] - last) * 2.0)
+        unwrapped[i] = folded
+        last = folded
+    med, sig = median_iqr_sigma(jnp.asarray(unwrapped))
+    med, sig = float(med), float(sig)
+    if sig == 0.0:
+        w = np.ones(n)
+    else:
+        w = (np.abs(unwrapped - med) < sigma_gate * sig).astype(float)
+    t = np.arange(n) / epochs_per_second
+    c0, c1, _ = weighted_linear_fit(
+        jnp.asarray(t), jnp.asarray(unwrapped), jnp.asarray(w)
+    )
+    return {
+        "phi_cycles": unwrapped,
+        "weights": w,
+        "phi0_cycles": float(c0),
+        "df_hz": float(c1),  # cycles/s = Hz
+        "sigma": sig,
+    }
+
+
 def cn0_dbhz(snr_r: np.ndarray, snr_i: np.ndarray, fs: float) -> float:
     """Carrier-to-noise density C/N0 in dB·Hz.
 
