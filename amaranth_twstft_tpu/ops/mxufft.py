@@ -50,8 +50,11 @@ def _prime_factors(n: int) -> list[int]:
 @lru_cache(maxsize=None)
 def _best_split(n: int, max_factor: int) -> tuple[int, ...] | None:
     """Factorization of n into parts <= max_factor: fewest parts first,
-    then the largest *smallest* part (tiny trailing factors like 16 make
-    badly-shaped matmul stages — measured 8x slower than balanced ones)."""
+    then no part below 25 if avoidable (tiny factors make badly-shaped
+    matmul stages — a trailing 16 measured 8x slower than balanced
+    splits), then lexicographically-largest descending (big first stage
+    measured fastest: (125,64,25) 5.0 ms vs (80,50,50) 6.5 ms at
+    (50, 200000) c64 on v5e)."""
     if n == 1:
         return ()
     if n <= max_factor:
@@ -64,7 +67,7 @@ def _best_split(n: int, max_factor: int) -> tuple[int, ...] | None:
         if sub is None:
             continue
         cand = tuple(sorted((d,) + sub, reverse=True))
-        key = (len(cand), -min(cand), -cand[0])
+        key = (len(cand), min(cand) < 25, tuple(-c for c in cand))
         if best is None or key < best[0]:
             best = (key, cand)
     return None if best is None else best[1]

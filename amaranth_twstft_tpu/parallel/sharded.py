@@ -63,6 +63,8 @@ def make_sharded_caf_step(
     *,
     nint: int = 1,
     caf_chunk: int = 4,
+    fast: bool = False,
+    mxu_fft: bool = False,
 ):
     """Build the jitted sharded step.
 
@@ -118,8 +120,11 @@ def make_sharded_caf_step(
         best_f = jnp.take_along_axis(f_all, win[None], 0)[0]
 
         # ---- full correlation at the winning frequency --------------
+        # (fast/mxu_fft: the single-chip perf paths, ops/zoomdft.py and
+        # ops/mxufft.py, compose with the sharding unchanged)
         res = correlate_epochs(
-            d, fcode_l, best_f, code3_l, fs, nint=nint
+            d, fcode_l, best_f, code3_l, fs, nint=nint,
+            fast=fast, mxu_fft=mxu_fft,
         )
         delay = (res.indice + res.correction) / (2 * nint + 1)
         return (

@@ -98,3 +98,56 @@ def test_slip_offsets_use_halo(setup):
     for i, off in enumerate(offsets):
         expected = np.mod(100.5 - off, L)
         np.testing.assert_allclose(delay[i], expected, atol=0.2)
+
+
+def test_sharded_step_fast_paths_match():
+    """The fast (windowed zoom-DFT) and mxu_fft paths compose with the
+    sharded step: identical delays vs the exact path on the same mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amaranth_twstft_tpu.config import SignalConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.caf import doppler_bins
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import (
+        chips_to_pm1, code_spectrum, interp_code, upsample_zoh,
+    )
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.parallel.sharded import (
+        make_sharded_caf_step, shard_blocks,
+    )
+
+    mesh = make_mesh(2, 2)
+    cfg = SignalConfig(fs=1e5, chip_rate=5e4, code_len=500, bit_len=10, taps=9)
+    L = cfg.samples_per_code
+    epb, halo = 2, L // 2
+    (stream,) = synthesize_capture(
+        cfg, [ChannelSim(delay_samples=77.4, doppler_hz=150.0,
+                         amplitude=900, noise_sigma=120)],
+        n_seconds=1, seed=3,
+    )
+    blocks = np.zeros((2, epb * L + halo), dtype=np.complex128)
+    for i in range(2):
+        seg = stream[i * epb * L : i * epb * L + epb * L + halo]
+        blocks[i, : len(seg)] = seg
+    offsets = np.zeros(2, np.int32)
+    code = chips_to_pm1(upsample_zoh(prn_chips(cfg.bit_len, cfg.taps,
+                                               cfg.code_len), 2))
+    fcode = jnp.asarray(np.asarray(code_spectrum(code)))
+    code3 = jnp.asarray(interp_code(code, 3))
+    shifts, _ = doppler_bins(cfg.fs, L, -500.0, 500.0, 100.0)
+
+    outs = {}
+    for name, kw in (("exact", {}), ("fast", {"fast": True}),
+                     ("mxu", {"mxu_fft": True})):
+        step = make_sharded_caf_step(mesh, cfg.fs, L, epb, halo,
+                                     caf_chunk=2, **kw)
+        args = shard_blocks(mesh, jnp.asarray(blocks), jnp.asarray(offsets),
+                            fcode, code3, shifts)
+        delay = np.asarray(step(*args)[0]).ravel()
+        outs[name] = delay
+    np.testing.assert_allclose(outs["fast"], outs["exact"], atol=1e-9)
+    np.testing.assert_allclose(outs["mxu"], outs["exact"], atol=1e-7)
+    np.testing.assert_allclose(outs["exact"], 77.4, atol=0.5)
