@@ -54,6 +54,7 @@ class ChannelConfig:
     """One receiver channel (one ``sdr.param`` row, ``rxcomplex.cpp:272-285``)."""
 
     physical: str = "A"  # "A" or "B"
+    is_sic: bool = False  # successive-interference-cancellation channel
     prn_id: int = 100  # >=100 => 100 kchip SDR code (rxcomplex.cpp:305-310)
     bit_len: int = 17
     taps: int = 9
@@ -83,10 +84,11 @@ def parse_sdr_param(text: str) -> list[ChannelConfig]:
         parts = line.split()
         if len(parts) != 9:
             continue
-        ch, _sic, prn, fc, kcps, fltkhz, frange, fstep, snrmin = parts
+        ch, sic, prn, fc, kcps, fltkhz, frange, fstep, snrmin = parts
         out.append(
             ChannelConfig(
                 physical=ch,
+                is_sic=sic.upper() in ("S", "1", "Y"),
                 prn_id=int(prn),
                 fc_init_hz=float(fc),
                 chip_rate=float(kcps) * 1e3,
@@ -238,11 +240,63 @@ class Receiver:
             if smp is None:
                 reports.append(None)
                 continue
+            if ch.cfg.is_sic:
+                smp = self._mai_free(i, smp)
             if not st.is_trk:
                 reports.append(self._acquire(i, smp))
             else:
                 reports.append(self._track(i, smp))
         return reports
+
+    # ------------------------------------------------------------------
+    def _mai_free(self, i: int, smp: np.ndarray) -> np.ndarray:
+        """Successive interference cancellation for a SIC-flagged channel.
+
+        The reference scaffolds this as ``MAI_up``/``MAI_out``
+        (``rxcomplex.cpp:506-520``, disabled in the shipped build): rebuild
+        every *tracked, non-SIC, non-first-second* co-channel signal from
+        its current track state and subtract it before processing.  Here
+        each interferer is reconstructed as ``a_c * code((n - pt) mod nobs)
+        * exp(j 2 pi (fc+df) n / fs)`` with one complex amplitude ``a_c``
+        per code period estimated by projection — the per-code amplitudes
+        play the role of the reference's per-code raw phases
+        (``dev_raw_phi``) and absorb sub-code-rate carrier error, so the
+        cancellation depth is set by the code alignment, not by the
+        tracker's residual Hz.
+        """
+        ch_i = self.channels[i]
+        out = smp
+        for k, (ch, st) in enumerate(zip(self.channels, self.states)):
+            if (
+                k == i
+                or ch.cfg.physical != ch_i.cfg.physical
+                or ch.cfg.is_sic
+                or not st.is_trk
+                or st.is_first
+            ):
+                continue
+            n = np.arange(len(smp), dtype=np.float64)
+            code = ch.wav.astype(np.float64)[
+                (np.arange(len(smp)) - st.pt) % ch.nobs
+            ]
+            f = (st.fc + st.df) / self.fs
+            rep = code * np.exp(2j * np.pi * np.mod(f * n, 1.0))
+            nblk = len(smp) // ch.nobs
+            m = nblk * ch.nobs
+            rb = rep[:m].reshape(nblk, ch.nobs)
+            sb = np.asarray(smp[:m], dtype=np.complex128).reshape(nblk, ch.nobs)
+            denom = np.sum(np.abs(rb) ** 2, axis=1)
+            a = np.sum(np.conj(rb) * sb, axis=1) / np.maximum(denom, 1e-30)
+            if out is smp:
+                out = smp.astype(np.complex128, copy=True)
+            out[:m] -= (a[:, None] * rb).ravel()
+            if m < len(smp):
+                out[m:] -= a[-1] * rep[m:]
+            self.log.append(
+                f"SIC         : Ch {ch_i.cfg.physical} PRN{ch_i.cfg.prn_id} "
+                f"- PRN{ch.cfg.prn_id} |a|={float(np.abs(a).mean()):.1f}"
+            )
+        return out
 
     # ------------------------------------------------------------------
     def _acquire(self, i: int, smp: np.ndarray) -> SecondReport | None:
@@ -359,7 +413,13 @@ class Receiver:
         )
         gd_ns = (st.pt + pk_idx - nlag + hrc) * 1e9 / self.fs
         ps = power[np.arange(ncodes), pk_idx] / max(ch.psbb, 1e-30)
-        res_phi = phase[np.arange(ncodes), pk_idx]
+        # the lag bank returns the reference's atan2(-im, re) — the
+        # CONJUGATE of the residual carrier phase under our exp(-j2pi fc t)
+        # downconversion; negate so the fitted slope is f_true - fc and
+        # the fc += round(slope) update below converges (a +slope update
+        # on the conjugate phase doubles the error in fc+df instead of
+        # cancelling it)
+        res_phi = -phase[np.arange(ncodes), pk_idx]
 
         # median/IQR 3-sigma gate (:699-700)
         med, sigma = median_iqr_sigma(

@@ -74,9 +74,10 @@ def test_acquire_and_track_two_prns(small_cfg, two_prn_capture):
     r_b = reports[3][1]
     assert r_a is not None and r_a.locked
     assert r_b is not None and r_b.locked
-    # carrier frequency recovered within ~1 Hz
-    assert abs(r_a.fc_hz - 120.0) < 1.0, r_a.fc_hz
-    assert abs(r_b.fc_hz - (-210.0)) < 1.0, r_b.fc_hz
+    # carrier frequency recovered to mHz once the phase-slope loop has
+    # converged (the conjugate-phase sign fix makes fc+df exact)
+    assert abs(r_a.fc_hz - 120.0) < 0.05, r_a.fc_hz
+    assert abs(r_b.fc_hz - (-210.0)) < 0.05, r_b.fc_hz
     # code phase (ns) near the injected delays (1 sample = 1e4 ns here)
     assert abs(r_a.gd_ns - 137.0 * 1e9 / small_cfg.fs) < 2e3, r_a.gd_ns
     assert abs(r_b.gd_ns - 555.0 * 1e9 / small_cfg.fs) < 2e3, r_b.gd_ns
@@ -103,3 +104,54 @@ def test_lock_loss_on_signal_drop(small_cfg):
     rx.process_second({"A": noise[: fs + 2 * L]})
     assert not rx.states[0].is_trk
     assert any("lock lost" in line for line in rx.log)
+
+
+def test_parse_sdr_param_sic_flag():
+    chans = parse_sdr_param("A S 101 0 2500 2500 4000 100 7\n")
+    assert chans[0].is_sic
+
+
+def test_sic_recovers_weak_cochannel_prn(small_cfg):
+    """SIC/MAI cancellation (rxcomplex.cpp:506-520, disabled there): a weak
+    PRN buried 27 dB under a strong co-channel PRN acquires only after the
+    strong channel is tracked and subtracted."""
+    import dataclasses
+
+    fs = int(small_cfg.fs)
+    cfg_b = dataclasses.replace(small_cfg, taps=27)
+    streams = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=137.0, doppler_hz=120.0, amplitude=2500,
+                    noise_sigma=40)],
+        n_seconds=7,
+        seed=5,
+        extra_emissions=[
+            (cfg_b, ChannelSim(delay_samples=555.0, doppler_hz=-210.0,
+                               amplitude=110, noise_sigma=0.0))
+        ],
+    )
+    stream = streams[0]
+
+    def run(weak_sic: bool):
+        rx = Receiver(
+            [small_chan(9), small_chan(27, fc=0.0, is_sic=weak_sic)],
+            fs=small_cfg.fs,
+        )
+        last_weak = None
+        for s in range(6):
+            seg = stream[s * fs : (s + 1) * fs + 2 * small_cfg.samples_per_code]
+            rep = rx.process_second({"A": seg})
+            if rep[1] is not None:
+                last_weak = rep[1]
+        return rx, last_weak
+
+    rx_sic, weak = run(True)
+    assert weak is not None and weak.locked, rx_sic.log
+    assert any("SIC" in line for line in rx_sic.log)
+    # code phase of the weak PRN recovered (1 sample = 1e4 ns here)
+    assert abs(weak.gd_ns - 555.0 * 1e9 / fs) < 0.2 * 1e9 / fs, weak
+    assert abs(weak.fc_hz - (-210.0)) < 1.0
+
+    # without SIC the weak channel never produces a locked report
+    rx_plain, weak_plain = run(False)
+    assert weak_plain is None, (weak_plain, rx_plain.log)
