@@ -30,6 +30,7 @@ __all__ = [
     "snr_xcorr_floor",
     "snr_estimator_sweep",
     "interpolation_effect",
+    "qpsk_vs_bpsk_study",
 ]
 
 
@@ -107,3 +108,73 @@ def interpolation_effect(
         rows["snr_claudio"].append(float(snr_despreading(x, c)))
         rows["snr_th"].append(float(np.var(c) / np.var(n / f)))
     return {k: np.asarray(v) for k, v in rows.items()}
+
+
+def qpsk_vs_bpsk_study(
+    cfg,
+    taps_b: int = 27,
+    amplitude: float = 600.0,
+    noise_sigma: float = 300.0,
+    n_seconds: int = 1,
+    seed: int = 3,
+) -> dict[str, float]:
+    """The 220822 campaign's question: does QPSK improve timing?
+
+    Reference conclusion (``experiments/220822_qpsk_vs_bpsk/README.md:3-10``):
+    **no** — at equal total transmit power each QPSK code carries 3 dB
+    less, and the delay std is no better than BPSK.  Here the experiment
+    is synthetic with known truth: the same channel is emitted BPSK and
+    QPSK (Gray-mapped, ``mixer.py:28-34``), processed by the same
+    correlator against code A, and the per-epoch delay std is compared.
+
+    Returns ``{"bpsk_std_samples", "qpsk_std_samples", "bpsk_mean",
+    "qpsk_mean"}`` (delays in fractional samples).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.config import Modulation
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.correlator import correlate_epochs, delay_seconds
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import (
+        chips_to_pm1,
+        code_spectrum,
+        interp_code,
+        upsample_zoh,
+    )
+
+    delay = 137.25
+    chan = ChannelSim(
+        delay_samples=delay, doppler_hz=40.0, amplitude=amplitude,
+        noise_sigma=noise_sigma,
+    )
+    code = chips_to_pm1(
+        upsample_zoh(
+            prn_chips(cfg.bit_len, cfg.taps, cfg.code_len, cfg.seed),
+            cfg.samples_per_chip,
+        )
+    )
+    fcode = code_spectrum(code)
+    code3 = interp_code(code, 3)
+    L = cfg.samples_per_code
+
+    out: dict[str, float] = {}
+    for name, mod in (("bpsk", Modulation.BPSK), ("qpsk", Modulation.QPSK)):
+        c = dataclasses.replace(
+            cfg,
+            modulation=mod,
+            taps_b=taps_b if mod == Modulation.QPSK else None,
+        )
+        (stream,) = synthesize_capture(c, [chan], n_seconds=n_seconds, seed=seed)
+        n_ep = len(stream) // L
+        d = stream[: n_ep * L].reshape(n_ep, L)
+        res = correlate_epochs(
+            jnp.asarray(d), fcode, jnp.full((n_ep,), 40.0), jnp.asarray(code3),
+            cfg.fs,
+        )
+        dl = np.asarray(delay_seconds(res, cfg.fs, 3)) * cfg.fs
+        out[f"{name}_mean"] = float(np.mean(dl))
+        out[f"{name}_std_samples"] = float(np.std(dl))
+    return out

@@ -57,3 +57,16 @@ def test_cn0_operating_point():
     got = cn0_dbhz(np.full(5, snr_lin), np.zeros(5), 5e6)
     assert abs(got - (10 * np.log10(snr_lin * 5e6))) < 1e-9
     assert 53.0 < got < 55.0
+
+
+def test_qpsk_does_not_improve_timing(small_cfg):
+    """Reproduces the 220822 campaign conclusion: QPSK at equal total
+    power times no better than BPSK (each code is 3 dB down)."""
+    from amaranth_twstft_tpu.studies import qpsk_vs_bpsk_study
+
+    r = qpsk_vs_bpsk_study(small_cfg)
+    # both recover the injected 137.25-sample delay
+    assert abs(r["bpsk_mean"] - 137.25) < 0.1, r
+    assert abs(r["qpsk_mean"] - 137.25) < 0.2, r
+    # and QPSK is no more precise than BPSK
+    assert r["qpsk_std_samples"] > 0.8 * r["bpsk_std_samples"], r
