@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from amaranth_twstft_tpu.ops.caf import caf_peaks
 from amaranth_twstft_tpu.ops.correlator import correlate_epochs
 
-__all__ = ["make_sharded_caf_step", "shard_blocks"]
+__all__ = ["make_sharded_caf_step", "make_sharded_lagbank_step", "shard_blocks"]
 
 
 def shard_blocks(mesh: Mesh, blocks, offsets, fcode, code_interp, shifts):
@@ -143,6 +143,39 @@ def make_sharded_caf_step(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def make_sharded_lagbank_step(mesh: Mesh, axis: str | None = None):
+    """Multi-channel DLL/PLL lag-bank correlation sharded by receiver channel.
+
+    The reference tracks up to 120 channels with one DGEMM each per second
+    on one node (``rxcomplex.cpp:36,605``); here the channel axis is laid
+    out across devices (SURVEY.md §2.6 "channels × Doppler hypotheses
+    sharded across chips") and each device runs its local channels' MXU
+    lag-bank contraction — no collectives needed until the host gathers
+    the tiny (codes, nlags) outputs.
+
+    Returns ``step(obs_ri, wav_lags) -> (power, phase)`` with
+    ``obs_ri``: (C, 2, codes, nobs) float32 and ``wav_lags``:
+    (C, nobs, nlags) float32, C a multiple of the axis size.  Results are
+    shard-count invariant (``tests/test_sharded.py``).
+    """
+    from amaranth_twstft_tpu.ops.lagbank import lag_bank_correlate
+
+    if axis is None:
+        axis = mesh.axis_names[-1]
+
+    def local(obs_l, wav_l):
+        return jax.vmap(lag_bank_correlate)(obs_l, wav_l)
+
+    step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(step)

@@ -151,3 +151,28 @@ def test_sharded_step_fast_paths_match():
     np.testing.assert_allclose(outs["fast"], outs["exact"], atol=1e-9)
     np.testing.assert_allclose(outs["mxu"], outs["exact"], atol=1e-7)
     np.testing.assert_allclose(outs["exact"], 77.4, atol=0.5)
+
+
+def test_sharded_lagbank_matches_unsharded():
+    """Channel-axis sharding of the DLL/PLL lag bank is result-invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.ops.lagbank import lag_bank_correlate
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.parallel.sharded import make_sharded_lagbank_step
+
+    rng = np.random.default_rng(11)
+    C, codes, nobs, nlags = 8, 6, 512, 9
+    obs = rng.normal(size=(C, 2, codes, nobs)).astype(np.float32)
+    wav = rng.normal(size=(C, nobs, nlags)).astype(np.float32)
+
+    mesh = make_mesh(2, 4)
+    step = make_sharded_lagbank_step(mesh)
+    pw, ph = step(jnp.asarray(obs), jnp.asarray(wav))
+    pw, ph = np.asarray(pw), np.asarray(ph)
+
+    for c in range(C):
+        pw1, ph1 = lag_bank_correlate(jnp.asarray(obs[c]), jnp.asarray(wav[c]))
+        np.testing.assert_allclose(pw[c], np.asarray(pw1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ph[c], np.asarray(ph1), rtol=1e-5, atol=1e-6)
