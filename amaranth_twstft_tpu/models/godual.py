@@ -210,6 +210,13 @@ def process_file(
             else:
                 dc = jnp.asarray(d[c, :n])
                 df, _ = squaring_df(dc, signal.fs, mask)
+                if proc.fine_freq:
+                    # pyFFTW-chain refinement: mix by the coarse df, fit
+                    # the residual phase drift, and correlate at the
+                    # refined frequency (godual_ranging_fftw.py:35-39)
+                    t = jnp.arange(L, dtype=jnp.float64) / signal.fs
+                    y = dc * jnp.exp(-2j * jnp.pi * df[:, None] * t)
+                    df = df + doppler.fine_df_phase_drift(y, signal.fs)
                 res = correlate_epochs(
                     dc,
                     rep.fcode,

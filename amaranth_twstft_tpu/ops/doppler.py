@@ -227,7 +227,7 @@ def refresh_df(d: jax.Array, fs: float, kbon: int, halfwidth: int = 3):
     return freq[idx] / 2.0, idx
 
 
-@partial(jax.jit, static_argnames=("stride", "boxcar"))
+@partial(jax.jit, static_argnames=("fs", "stride", "boxcar"))
 def fine_df_phase_drift(
     y: jax.Array, fs: float, stride: int = 10, boxcar: int = 100
 ):

@@ -113,3 +113,31 @@ def test_goranging_f32_matches_f64(small_cfg, capture_files):
     d64 = (o64["ch1"]["indice"] + o64["ch1"]["correction"]) / 3
     d32 = (o32["ch1"]["indice"] + o32["ch1"]["correction"]) / 3
     assert np.max(np.abs(d64 - d32)) < 1e-3
+
+
+def test_godual_fine_freq_refinement(small_cfg, capture_files):
+    """The pyFFTW variant (godual_ranging_fftw.py:35-39): phase-drift
+    refinement pulls df from the coarse squaring-FFT bin (50 Hz grid
+    here) to sub-Hz of the injected Doppler."""
+    cap, code = capture_files
+    kw = dict(
+        signal=small_cfg,
+        station=StationConfig(op=True),
+        batch_epochs=16,
+        dtype=jnp.complex128,
+    )
+    coarse = godual.process_file(
+        cap, code, proc=ProcessingConfig(df_window_hz=(-2000, 2000)), **kw
+    )
+    fine = godual.process_file(
+        cap, code,
+        proc=ProcessingConfig(df_window_hz=(-2000, 2000), fine_freq=True),
+        **kw,
+    )
+    err_coarse = np.abs(coarse["ch1"]["df"] - TRUTH["f1"])
+    err_fine = np.abs(fine["ch1"]["df"] - TRUTH["f1"])
+    assert np.median(err_fine) < 1.0, np.median(err_fine)
+    assert np.median(err_fine) < 0.5 * np.median(err_coarse)
+    # delays unaffected (they were already df-tolerant)
+    d1 = (fine["ch1"]["indice"] + fine["ch1"]["correction"]) / 3
+    np.testing.assert_allclose(d1, TRUTH["d1"], atol=0.05)
