@@ -186,7 +186,7 @@ def process_file(
     if accel:
         step = boundary.make_ranging_step(
             np.asarray(rep.fcode), np.asarray(rep.code_interp), mask,
-            signal.fs, nint=proc.nint,
+            signal.fs, nint=proc.nint, fine_freq=proc.fine_freq,
         )
 
     start = 0

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from amaranth_twstft_tpu.ops.correlator import correlate_epochs
-from amaranth_twstft_tpu.ops.doppler import squaring_df
+from amaranth_twstft_tpu.ops.doppler import fine_df_phase_drift, squaring_df
 
 __all__ = [
     "pack_complex",
@@ -85,6 +85,7 @@ class RangingOutputs:
     jax.jit,
     static_argnames=(
         "fs", "nint", "conjugate_data", "use_mask", "fast", "mxu_fft",
+        "fine_freq",
     ),
 )
 def ranging_step(
@@ -101,6 +102,7 @@ def ranging_step(
     fast: bool = False,
     fine_matrix_ri: jax.Array | None = None,
     mxu_fft: bool = False,
+    fine_freq: bool = False,
 ) -> RangingOutputs:
     """One fused program: IQ f32 (B, L, 2) -> per-epoch estimates (real).
 
@@ -121,6 +123,14 @@ def ranging_step(
         )
     else:
         df = jnp.broadcast_to(df_fixed, d.shape[:-1])
+    if fine_freq:
+        # pyFFTW-chain refinement in the same fused program as the
+        # coarse estimate (godual_ranging_fftw.py:35-39): mix by the
+        # coarse df and fit the residual phase drift.
+        t = jnp.arange(d.shape[-1], dtype=iq.dtype) / fs
+        ang = -2.0 * jnp.pi * df[..., None] * t
+        y = d * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        df = df + fine_df_phase_drift(y, fs)
     res = correlate_epochs(
         d,
         fcode,
@@ -165,6 +175,7 @@ def make_ranging_step(
     fast: bool = True,
     fine_width: int | None = None,
     mxu_fft: bool | None = None,
+    fine_freq: bool = False,
 ):
     """Bind replica/mask once; return ``step(iq_f32, df_fixed=None)``.
 
@@ -215,13 +226,13 @@ def make_ranging_step(
                 iq, fcode_ri, code3, mask_j, jnp.float32(0.0), fs,
                 nint=nint, conjugate_data=conjugate_data, use_mask=True,
                 fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
-                mxu_fft=mxu_fft,
+                mxu_fft=mxu_fft, fine_freq=fine_freq,
             )
         return ranging_step(
             iq, fcode_ri, code3, mask_j, jnp.asarray(df_fixed, jnp.float32),
             fs, nint=nint, conjugate_data=conjugate_data, use_mask=False,
             fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
-            mxu_fft=mxu_fft,
+            mxu_fft=mxu_fft, fine_freq=fine_freq,
         )
 
     return step

@@ -229,31 +229,60 @@ def refresh_df(d: jax.Array, fs: float, kbon: int, halfwidth: int = 3):
 
 @partial(jax.jit, static_argnames=("fs", "stride", "boxcar"))
 def fine_df_phase_drift(
-    y: jax.Array, fs: float, stride: int = 10, boxcar: int = 100
+    y: jax.Array, fs: float, stride: int | None = None, boxcar: int | None = None
 ):
     """Fine frequency from the phase drift of the coarsely mixed signal.
 
-    pyFFTW chain: fit a line to the boxcar-smoothed ``angle(y)`` over the
-    first fs/3 samples decimated by 10; ``dfleftover = slope/2/pi``
+    Behavioral model: the pyFFTW chain's refinement — fit a line to the
+    smoothed phase of the coarse-mixed signal over (up to) the first fs/3
+    samples; ``dfleftover = slope/2/pi``
     (``godual_ranging_fftw.py:35-39``; present in Octave only as commented
     code, ``godual_ranging.m:19-24``).  Batched over leading axes.
+
+    Redesigned estimator (deliberate deviation, see PARITY.md): the
+    reference boxcar-averages ``np.angle(y)`` of the *modulated* signal,
+    which only converges when the residual keeps the total phase drift
+    under ~1/4 cycle over the window — true for its 1 s epochs (squaring
+    bin < 1 Hz) but not in general.  Here we instead
+
+    1. square the signal (``y*y`` strips BPSK; the residual appears as a
+       clean tone at ``2*df``, exactly the coarse estimator's trick),
+    2. boxcar-average the *complex* squared signal via a cumulative sum
+       ('valid' support only — no partial-sum edge ramps, which biased
+       the fit at short epoch lengths),
+    3. unwrap the phase increment-wise, ``dphi = angle(s[k+1]*conj(s[k]))``
+       + cumsum — wrap-proof for any drift rate within pull-in,
+    4. least-squares slope -> ``df = slope / (4*pi)`` (4, not 2: squaring
+       doubled the frequency).
+
+    Pull-in range (asserted by ``tests/test_doppler_fine.py``): the
+    residual must satisfy ``|df| < fs / (4*stride)`` (per-step unwrap
+    limit) and ``|df| < fs / (2*boxcar)`` (boxcar main-lobe limit).  With
+    the auto-scaled defaults this is always at least +/- a few squaring
+    bins, the regime the refinement is used in.
     """
-    n = int(fs // 3)
-    ph = jnp.angle(y[..., :n:stride])
-    kernel = jnp.ones((boxcar,), ph.dtype) / boxcar
-    # 'full' convolution then the same trim as np.convolve(...)[49:-50]
-    smoothed = jax.vmap(
-        lambda row: jnp.convolve(row, kernel, mode="full"),
-        in_axes=0,
-        out_axes=0,
-    )(ph.reshape(-1, ph.shape[-1]))[..., boxcar // 2 - 1 : -(boxcar // 2)]
-    smoothed = smoothed.reshape(ph.shape[:-1] + (smoothed.shape[-1],))
-    t = (1.0 + stride * jnp.arange(smoothed.shape[-1], dtype=ph.dtype)) / fs
-    tm = jnp.mean(t)
-    pm = jnp.mean(smoothed, axis=-1, keepdims=True)
-    dt = t - tm
-    slope = jnp.sum(dt * (smoothed - pm), axis=-1) / jnp.sum(dt * dt)
-    return slope / (2.0 * jnp.pi)
+    n = min(int(fs // 3), y.shape[-1])
+    if boxcar is None:
+        boxcar = max(2, min(100, n // 20))
+    if stride is None:
+        stride = max(1, n // 20000)
+    s = y[..., :n]
+    s = s * s
+    # complex boxcar via cumsum: smoothed[i] = mean(s[i:i+boxcar])
+    cs = jnp.cumsum(s, axis=-1)
+    zero = jnp.zeros(s.shape[:-1] + (1,), s.dtype)
+    cs = jnp.concatenate([zero, cs], axis=-1)
+    sm = (cs[..., boxcar:] - cs[..., :-boxcar]) / boxcar
+    sm = sm[..., ::stride]
+    real_dtype = jnp.real(sm).dtype
+    dphi = jnp.angle(sm[..., 1:] * jnp.conj(sm[..., :-1]))
+    phi = jnp.cumsum(dphi, axis=-1)
+    phi = jnp.concatenate([jnp.zeros_like(phi[..., :1]), phi], axis=-1)
+    t = stride * jnp.arange(sm.shape[-1], dtype=real_dtype) / fs
+    dt = t - jnp.mean(t)
+    pm = jnp.mean(phi, axis=-1, keepdims=True)
+    slope = jnp.sum(dt * (phi - pm), axis=-1) / jnp.sum(dt * dt)
+    return slope / (4.0 * jnp.pi)
 
 
 @partial(
