@@ -79,15 +79,6 @@ def prn_chips(bit_len: int, taps: int, n: int, seed: int = 1) -> np.ndarray:
 # ----------------------------------------------------------------------
 # Vectorized NumPy batch stepper (search engine)
 # ----------------------------------------------------------------------
-def _parity32(x: np.ndarray) -> np.ndarray:
-    x = x ^ (x >> 16)
-    x = x ^ (x >> 8)
-    x = x ^ (x >> 4)
-    x = x ^ (x >> 2)
-    x = x ^ (x >> 1)
-    return x & 1
-
-
 def prn_states_np(
     bit_len: int, taps: np.ndarray, n_steps: int, seed: int = 1
 ) -> np.ndarray:
@@ -111,6 +102,28 @@ def _parity64(x: np.ndarray) -> np.ndarray:
     return x & np.uint64(1)
 
 
+def _native_lib():
+    """The ctypes handle of the C++ engine, or None (lazy, import-safe)."""
+    try:
+        from amaranth_twstft_tpu import native
+
+        return native.load()
+    except Exception:
+        return None
+
+
+def _is_mseq_py(bit_len: int, taps: int, seed: int = 1) -> bool:
+    """Pure-Python oracle (kept as the cross-check for the fast engines)."""
+    period = (1 << bit_len) - 1
+    s = int(seed)
+    for _ in range(period - 1):
+        bit = bin(s & taps).count("1") & 1
+        s = (s >> 1) | (bit << (bit_len - 1))
+        if s == seed or s == 0:
+            return False
+    return True
+
+
 def is_mseq(bit_len: int, taps: int, seed: int = 1) -> bool:
     """True iff ``taps`` generates a maximal-length sequence.
 
@@ -118,21 +131,47 @@ def is_mseq(bit_len: int, taps: int, seed: int = 1) -> bool:
     the state must not have revisited the seed nor reached 0
     (``amaranth_twstft/common.py:44-51``); equivalently the state sequence
     has period 2**bit_len - 1 (``tools/mseq_calculator.c:31-38``).
+
+    Routed through the C++ engine (``native/mseq.cpp``) when available —
+    a 17-bit walk is 131 070 steps, untenable in a Python loop across a
+    search; the Python oracle remains as :func:`_is_mseq_py`.
     """
+    lib = _native_lib()
+    if lib is not None:
+        return bool(lib.twstft_is_mseq(bit_len, taps, seed))
+    return _is_mseq_py(bit_len, taps, seed)
+
+
+def _find_mseq_taps_np(
+    bit_len: int, limit: int, seed: int = 1, chunk: int = 4096
+) -> list[int]:
+    """NumPy-batched ascending search: step ``chunk`` candidate tap masks
+    in lockstep, eliminating any whose state revisits the seed or reaches
+    zero before the full period, compacting survivors as they die."""
     period = (1 << bit_len) - 1
-    state = np.uint64(seed)
-    taps64 = np.uint64(taps)
     msb = np.uint64(1) << np.uint64(bit_len - 1)
-    # vectorize over time by stepping a window of states? The recurrence is
-    # sequential; step scalar but in a tight numpy-free loop.
-    s = int(state)
-    t = int(taps64)
-    for i in range(period - 1):
-        bit = bin(s & t).count("1") & 1
-        s = (s >> 1) | (bit << (bit_len - 1))
-        if s == seed or s == 0:
-            return False
-    return True
+    seed64 = np.uint64(seed)
+    found: list[int] = []
+    for start in range(1, 1 << bit_len, 2 * chunk):
+        stop = min(start + 2 * chunk, 1 << bit_len)
+        cands = np.arange(start, stop, 2, dtype=np.uint64)
+        state = np.full(cands.shape, seed, dtype=np.uint64)
+        steps_done = 0
+        while steps_done < period - 1 and len(cands):
+            block = min(1024, period - 1 - steps_done)
+            dead = np.zeros(cands.shape, dtype=bool)
+            for _ in range(block):
+                bits = _parity64(state & cands)
+                state = (state >> np.uint64(1)) | (bits * msb)
+                dead |= (state == seed64) | (state == 0)
+            if dead.any():
+                keep = ~dead
+                cands, state = cands[keep], state[keep]
+            steps_done += block
+        found.extend(int(t) for t in cands)
+        if len(found) >= limit:
+            break
+    return found[:limit]
 
 
 def find_mseq_taps(bit_len: int, limit: int = 10) -> list[int]:
@@ -140,15 +179,20 @@ def find_mseq_taps(bit_len: int, limit: int = 10) -> list[int]:
 
     Mirrors ``m_seq_codes`` (``amaranth_twstft/common.py:32-57``): candidates
     are the odd integers in ascending order (the LSB tap must be set for the
-    output bit to feed back).
+    output bit to feed back).  The walk runs on the C++ engine
+    (``native/mseq.cpp``, ``tools/mseq_calculator.c:31-38`` semantics) when
+    available, else on the NumPy lockstep batch — both reproduce
+    ``config.GOLDEN_TAPS_17`` (``tools/README.md:2-11``) in seconds where
+    the old per-step Python loop needed ~10^9 iterations.
     """
-    found: list[int] = []
-    for taps in range(1, 1 << bit_len, 2):
-        if is_mseq(bit_len, taps):
-            found.append(taps)
-            if len(found) >= limit:
-                break
-    return found
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        out = (ctypes.c_uint64 * limit)()
+        n = lib.twstft_find_mseq(bit_len, out, limit)
+        return [int(out[i]) for i in range(n)]
+    return _find_mseq_taps_np(bit_len, limit)
 
 
 # ----------------------------------------------------------------------

@@ -73,3 +73,41 @@ def test_taps_cache(tmp_path):
     # second call hits the cache (same result, file exists)
     cache2 = lfsr.TapsCache(str(tmp_path / "taps.json"))
     assert cache2.autofill(7, 2) == taps
+
+
+def test_find_mseq_taps_bit17_golden():
+    """Searching bit_len 17 reproduces the reference's known-good taps
+    (tools/README.md:2-11, config.GOLDEN_TAPS_17) in seconds — the search
+    runs on the native engine (or the NumPy lockstep batch), not the
+    per-step Python loop."""
+    import time
+
+    from amaranth_twstft_tpu.config import GOLDEN_TAPS_17
+
+    t0 = time.time()
+    taps = lfsr.find_mseq_taps(17, len(GOLDEN_TAPS_17))
+    assert tuple(taps) == GOLDEN_TAPS_17
+    assert time.time() - t0 < 30.0
+
+
+def test_numpy_search_matches_native_and_oracle():
+    from amaranth_twstft_tpu.ops.lfsr import _find_mseq_taps_np, _is_mseq_py
+
+    got = _find_mseq_taps_np(10, 60)
+    assert got == lfsr.find_mseq_taps(10, 60)
+    # cross-check a few against the pure-Python oracle
+    for t in got[:3]:
+        assert _is_mseq_py(10, t)
+    assert not _is_mseq_py(10, got[0] + 2) or (got[0] + 2) in got
+
+
+def test_taps_cache_autofill_17(tmp_path):
+    from amaranth_twstft_tpu.config import GOLDEN_TAPS_17
+    from amaranth_twstft_tpu.ops.lfsr import TapsCache
+
+    cache = TapsCache(str(tmp_path / "taps.json"))
+    taps = cache.autofill(17, 4)
+    assert tuple(taps) == GOLDEN_TAPS_17[:4]
+    # second call is served from the cache file
+    cache2 = TapsCache(str(tmp_path / "taps.json"))
+    assert cache2.get(17)[:4] == list(GOLDEN_TAPS_17[:4])
