@@ -46,7 +46,16 @@ from amaranth_twstft_tpu.ops.prn import (
     upsample_zoh,
 )
 
-__all__ = ["ChannelConfig", "Channel", "TrackState", "Receiver", "parse_sdr_param"]
+__all__ = [
+    "ChannelConfig",
+    "Channel",
+    "TrackState",
+    "Receiver",
+    "SecondReport",
+    "parse_sdr_param",
+    "dat_filename",
+    "log_line",
+]
 
 
 @dataclass(frozen=True)
@@ -99,6 +108,49 @@ def parse_sdr_param(text: str) -> list[ChannelConfig]:
             )
         )
     return out
+
+
+def _merge_param_row(base: ChannelConfig, row: ChannelConfig) -> ChannelConfig:
+    """Apply a changed ``sdr.param`` row onto a known channel config.
+
+    The reference derives code geometry (length, bit depth, lag span)
+    from its internal PRN table keyed by the row's id
+    (``rxcomplex.cpp:298-320``); here the receiver's existing config for
+    that PRN plays the table's role — the row only carries the runtime
+    knobs (channel, SIC, fc, rate, filter, acquisition window, SNR gate).
+    """
+    import dataclasses
+
+    return dataclasses.replace(
+        base,
+        physical=row.physical,
+        is_sic=row.is_sic,
+        prn_id=row.prn_id,
+        fc_init_hz=row.fc_init_hz,
+        chip_rate=row.chip_rate,
+        filter_hz=row.filter_hz,
+        acq_range_hz=row.acq_range_hz,
+        acq_step_hz=row.acq_step_hz,
+        snr_min_db=row.snr_min_db,
+    )
+
+
+def _param_matches(cur: ChannelConfig, new: ChannelConfig) -> bool:
+    """The reference's "row unchanged" test (``rxcomplex.cpp:273``): exact
+    on channel/SIC/PRN/fc/chip-rate, factor-2 band on the acquisition
+    range and step, 10% linear-power band on the SNR gate."""
+    cur_snr = 10.0 ** (cur.snr_min_db / 10.0)
+    new_snr = 10.0 ** (new.snr_min_db / 10.0)
+    return (
+        cur.physical == new.physical
+        and cur.is_sic == new.is_sic
+        and cur.prn_id == new.prn_id
+        and cur.fc_init_hz == new.fc_init_hz
+        and cur.chip_rate == new.chip_rate
+        and new.acq_range_hz <= cur.acq_range_hz < 2.0 * new.acq_range_hz
+        and new.acq_step_hz <= cur.acq_step_hz < 2.0 * new.acq_step_hz
+        and abs(cur_snr - new_snr) < 0.1 * cur_snr
+    )
 
 
 @dataclass
@@ -168,6 +220,33 @@ class SecondReport:
     pk_dbm: float
     pnoise_dbm: float
     locked: bool
+    ib: int = 0  # first-code index of the data bit; always 0 for SDR codes
+    #             (``rxcomplex.cpp:673``; nonzero only for SATRE bit framing)
+
+    def row(self, duration_s: float) -> str:
+        """The reference's per-second text row, byte-for-byte
+        (``rxcomplex.cpp:736-753``): ``fc+df phi cnt ib*duration gd dg
+        sdgd Pk_dBm Pnoise_dBm`` with the exact printf widths."""
+        return (
+            f"{self.fc_hz:14.6f} {self.phi_cycles:11.8f} "
+            f"{self.cnt:3d} {self.ib * duration_s:5.3f} {self.gd_ns:14.6f} "
+            f"{self.dg_ns_per_s:11.6f} {self.sdgd_ns:8.4f} "
+            f"{self.pk_dbm:7.3f} {self.pnoise_dbm:7.3f}"
+        )
+
+
+def dat_filename(cfg: ChannelConfig) -> str:
+    """Per-channel output file name (``rxcomplex.cpp:724``):
+    ``ch<A|B>.pn<id>.<kcps>kcps.dat``; SIC channels report id+50."""
+    pid = cfg.prn_id + 50 if cfg.is_sic else cfg.prn_id
+    return f"ch{cfg.physical}.pn{pid:02d}.{int(cfg.chip_rate // 1000)}kcps.dat"
+
+
+def log_line(event: str, cfg: ChannelConfig, cnt: int, bps: int) -> str:
+    """One ``rxcomplex.log`` event line (``rxcomplex.cpp:760-790``):
+    ``<event> : Ch. <ch>, PRN#<id>, count = <cnt> / <bps>``."""
+    pid = cfg.prn_id + 50 if cfg.is_sic else cfg.prn_id
+    return f"{event}: Ch. {cfg.physical}, PRN#{pid:2d}, count = {cnt} / {bps}"
 
 
 def _v2_to_dbm(v2: float) -> float:
@@ -218,6 +297,7 @@ class Receiver:
         self.states = [TrackState(fc=c.fc_init_hz) for c in channels]
         self._wav_lags: dict[int, jnp.ndarray] = {}
         self.log: list[str] = []
+        self._sic_snapshot = [(s.pt, s.fc, s.df) for s in self.states]
 
     def _lag_matrix(self, i: int) -> jnp.ndarray:
         if i not in self._wav_lags:
@@ -234,6 +314,12 @@ class Receiver:
         ``iq_by_phys``: physical channel name -> complex array of at least
         fs samples (+ one code period of lookahead recommended).
         """
+        # Second-start snapshot of every channel's code head / carrier —
+        # the reference's ``pt_prev`` semantics (``rxcomplex.cpp:513``):
+        # SIC reconstruction must use the alignment the interferer had for
+        # THIS second's samples, not the next-second prediction its
+        # tracker writes into ``st.pt`` when it runs earlier in the loop.
+        self._sic_snapshot = [(s.pt, s.fc, s.df) for s in self.states]
         reports: list[SecondReport | None] = []
         for i, (ch, st) in enumerate(zip(self.channels, self.states)):
             smp = iq_by_phys.get(ch.cfg.physical)
@@ -247,6 +333,45 @@ class Receiver:
             else:
                 reports.append(self._track(i, smp))
         return reports
+
+    # ------------------------------------------------------------------
+    def reload_params(self, text: str) -> list[int]:
+        """Hot-reload ``sdr.param`` with the reference's per-second change
+        detection (``rxcomplex.cpp:257-285``): a row that still matches its
+        channel keeps the channel's tracking state; a changed row (or a new
+        position) re-initializes that channel, forcing re-acquisition.
+        Returns the indices of re-initialized channels.
+        """
+        known = {c.cfg.prn_id: c.cfg for c in self.channels}
+        new_cfgs = parse_sdr_param(text)
+        changed: list[int] = []
+        for i, cfg in enumerate(new_cfgs):
+            if i < len(self.channels) and _param_matches(
+                self.channels[i].cfg, cfg
+            ):
+                continue
+            base = known.get(
+                cfg.prn_id, self.channels[0].cfg if self.channels else None
+            )
+            if base is not None:
+                cfg = _merge_param_row(base, cfg)
+            if i < len(self.channels):
+                self.channels[i] = build_channel(cfg, self.fs)
+                self.states[i] = TrackState(fc=cfg.fc_init_hz)
+                self._wav_lags.pop(i, None)
+            else:
+                self.channels.append(build_channel(cfg, self.fs))
+                self.states.append(TrackState(fc=cfg.fc_init_hz))
+            changed.append(i)
+        if len(new_cfgs) < len(self.channels):
+            changed.extend(range(len(new_cfgs), len(self.channels)))
+            del self.channels[len(new_cfgs):]
+            del self.states[len(new_cfgs):]
+            self._wav_lags = {
+                k: v for k, v in self._wav_lags.items() if k < len(new_cfgs)
+            }
+        self._sic_snapshot = [(s.pt, s.fc, s.df) for s in self.states]
+        return changed
 
     # ------------------------------------------------------------------
     def _mai_free(self, i: int, smp: np.ndarray) -> np.ndarray:
@@ -275,13 +400,18 @@ class Receiver:
                 or st.is_first
             ):
                 continue
+            pt_k, fc_k, df_k = self._sic_snapshot[k]
             n = np.arange(len(smp), dtype=np.float64)
             code = ch.wav.astype(np.float64)[
-                (np.arange(len(smp)) - st.pt) % ch.nobs
+                (np.arange(len(smp)) - pt_k) % ch.nobs
             ]
-            f = (st.fc + st.df) / self.fs
+            f = (fc_k + df_k) / self.fs
             rep = code * np.exp(2j * np.pi * np.mod(f * n, 1.0))
             nblk = len(smp) // ch.nobs
+            if nblk == 0:
+                # shorter-than-one-code final segment: no per-code
+                # amplitude can be estimated — skip this interferer
+                continue
             m = nblk * ch.nobs
             rb = rep[:m].reshape(nblk, ch.nobs)
             sb = np.asarray(smp[:m], dtype=np.complex128).reshape(nblk, ch.nobs)
@@ -293,8 +423,8 @@ class Receiver:
             if m < len(smp):
                 out[m:] -= a[-1] * rep[m:]
             self.log.append(
-                f"SIC         : Ch {ch_i.cfg.physical} PRN{ch_i.cfg.prn_id} "
-                f"- PRN{ch.cfg.prn_id} |a|={float(np.abs(a).mean()):.1f}"
+                f"SIC         : Ch. {ch_i.cfg.physical}, PRN#{ch_i.cfg.prn_id:2d} "
+                f"- PRN#{ch.cfg.prn_id:2d}, |a| = {float(np.abs(a).mean()):.1f}"
             )
         return out
 
@@ -339,7 +469,7 @@ class Receiver:
         snr_db = 10.0 * np.log10(max(qs, 1e-12))
         pk = float(np.abs(np.asarray(res.epoch.xval)[0])) ** 2
         if snr_db < cfg.snr_min_db:
-            self.log.append(f"acq failed  : Ch {cfg.physical} PRN{cfg.prn_id} snr={snr_db:.1f}")
+            self.log.append(log_line("acq failed  ", cfg, 0, cfg.codes_per_second))
             return None
         ind = int(np.asarray(res.epoch.indice)[0]) // 3  # non-interp grid
         st.fc = float(np.asarray(res.df_hz)[0])
@@ -364,7 +494,8 @@ class Receiver:
         st.is_first = True
         st.pk = pk
         self.log.append(
-            f"acquisition : Ch {cfg.physical} PRN{cfg.prn_id} fc={st.fc:.0f} pt={st.pt}"
+            f"acquisition : Ch. {cfg.physical}, PRN#{cfg.prn_id:2d}, "
+            f"fc = {st.fc:.0f}, pt = {st.pt}"
         )
         return None
 
@@ -434,9 +565,7 @@ class Receiver:
             # lock lost -> reacquire next second (:775-798)
             st.is_trk = False
             st.last_phi = 0.0
-            self.log.append(
-                f"lock lost   : Ch {cfg.physical} PRN{cfg.prn_id} cnt={cnt}/{bps}"
-            )
+            self.log.append(log_line("lock lost   ", cfg, cnt, bps))
             return None
 
         # BPSK half-cycle unwrap (:702-720)
@@ -472,9 +601,7 @@ class Receiver:
         first = st.is_first
         st.is_first = False
         if first:
-            self.log.append(
-                f"code lock   : Ch {cfg.physical} PRN{cfg.prn_id} cnt={cnt}/{bps}"
-            )
+            self.log.append(log_line("code lock   ", cfg, cnt, bps))
             return None
         px = float(np.mean(np.abs(smp[: int(self.fs)]) ** 2))
         return SecondReport(

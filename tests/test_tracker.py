@@ -1,0 +1,245 @@
+"""Device-batched DLL/PLL bank: parity with the host receiver, the
+120-channel design point on the virtual mesh, rx.cpp real-sample mode,
+reference output rows, and sdr.param hot-reload."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from amaranth_twstft_tpu.config import SignalConfig
+from amaranth_twstft_tpu.models.dllpll import (
+    ChannelConfig,
+    Receiver,
+    dat_filename,
+)
+from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+from amaranth_twstft_tpu.models.tracker import BankedReceiver
+from amaranth_twstft_tpu.ops.lfsr import find_mseq_taps
+
+
+def small_chan(prn_taps, fc=0.0, prn_id=100, physical="A", **kw):
+    base = dict(
+        physical=physical,
+        prn_id=prn_id,
+        bit_len=10,
+        taps=prn_taps,
+        fc_init_hz=fc,
+        chip_rate=5e4,
+        code_len=1000,
+        filter_hz=5e4,
+        acq_range_hz=500.0,
+        acq_step_hz=50.0,
+        snr_min_db=20.0,
+        nlag=8,
+    )
+    base.update(kw)
+    return ChannelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def two_prn_stream(small_cfg):
+    cfg_b = dataclasses.replace(small_cfg, taps=27)
+    streams = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=137.0, doppler_hz=120.0, amplitude=900,
+                    noise_sigma=120)],
+        n_seconds=5,
+        seed=17,
+        extra_emissions=[
+            (cfg_b, ChannelSim(delay_samples=555.0, doppler_hz=-210.0,
+                               amplitude=900, noise_sigma=0.0))
+        ],
+    )
+    return streams[0]
+
+
+def _run(rx, stream, fs, L, n_seconds=4):
+    reports = []
+    for s in range(n_seconds):
+        seg = stream[s * fs : (s + 1) * fs + 2 * L]
+        reports.append(rx.process_second({"A": seg}))
+    return reports
+
+
+def test_banked_matches_host(small_cfg, two_prn_stream):
+    """The one-program-per-second bank reproduces the host receiver's
+    per-channel solutions (f32 device math vs f64 host math)."""
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    chans = [small_chan(9), small_chan(27)]
+    host = _run(Receiver(chans, fs=small_cfg.fs), two_prn_stream, fs, L)
+    bank = _run(BankedReceiver(chans, fs=small_cfg.fs), two_prn_stream, fs, L)
+    for c in range(2):
+        rh, rb = host[3][c], bank[3][c]
+        assert rh is not None and rb is not None
+        assert rb.locked and rh.locked
+        assert abs(rb.fc_hz - rh.fc_hz) < 1e-3
+        assert abs(rb.gd_ns - rh.gd_ns) < 1.0  # ns
+        assert rb.cnt == rh.cnt
+
+
+def test_120_channels_on_virtual_mesh(small_cfg):
+    """The reference's design point: 120 channels configured from
+    sdr.param (rxcomplex.cpp:36), tracked in one sharded program over the
+    8-device mesh — >=100 locked with correct per-channel solutions."""
+    taps_list = find_mseq_taps(10, 60)
+    assert len(taps_list) == 60
+    n_per_phys = 60
+    rng = np.random.default_rng(42)
+    delays = {}
+    dops = {}
+    streams = {}
+    param_rows = ["# ch sic prn fc kcps flt frange fstep snr"]
+    chans = []
+    for phys in ("A", "B"):
+        emissions = []
+        for j, taps in enumerate(taps_list):
+            d = float(rng.integers(0, 1000))
+            f = float(rng.integers(-4, 5)) * 50.0  # on the 50 Hz bin grid
+            delays[(phys, j)] = d
+            dops[(phys, j)] = f
+            ecfg = dataclasses.replace(small_cfg, taps=taps)
+            emissions.append(
+                (ecfg, ChannelSim(delay_samples=d, doppler_hz=f,
+                                  amplitude=900, noise_sigma=0.0))
+            )
+            chans.append(
+                small_chan(taps, fc=f, prn_id=j, physical=phys,
+                           acq_range_hz=300.0, acq_step_hz=50.0,
+                           snr_min_db=10.0)
+            )
+            param_rows.append(f"{phys} N {j} {f} 50 50 300 50 10")
+        base_cfg = dataclasses.replace(small_cfg, taps=taps_list[0])
+        (stream,) = synthesize_capture(
+            base_cfg,
+            [ChannelSim(delay_samples=delays[(phys, 0)],
+                        doppler_hz=dops[(phys, 0)],
+                        amplitude=900, noise_sigma=50.0)],
+            n_seconds=4,
+            seed=7 if phys == "A" else 8,
+            extra_emissions=emissions[1:],
+        )
+        streams[phys] = stream
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("c",))
+    rx = BankedReceiver(chans, fs=small_cfg.fs, mesh=mesh, group=8)
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    reports = None
+    for s in range(4):
+        seconds = {
+            p: streams[p][s * fs : (s + 1) * fs + 2 * L] for p in ("A", "B")
+        }
+        reports = rx.process_second(seconds)
+
+    locked = [r for r in reports if r is not None and r.locked]
+    assert len(locked) >= 100, (len(locked), rx.log[-5:])
+    # spot-check solutions across the bank
+    ok = 0
+    for i, r in enumerate(reports):
+        if r is None:
+            continue
+        phys, j = chans[i].physical, chans[i].prn_id
+        if (
+            abs(r.fc_hz - dops[(phys, j)]) < 0.5
+            and abs(r.gd_ns - delays[(phys, j)] * 1e9 / small_cfg.fs) < 2e3
+        ):
+            ok += 1
+    assert ok >= 100, ok
+
+
+def test_real_input_mode(small_cfg):
+    """rx.cpp real-sample variant (rx.cpp:892-997): the bank tracks a
+    real passband BPSK stream from the sqrt(2)*cos/sin downconversion."""
+    f0 = 20e3
+    (stream,) = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=321.0, doppler_hz=f0, amplitude=1200,
+                    noise_sigma=80.0)],
+        n_seconds=4,
+        seed=11,
+    )
+    real_stream = np.real(stream)
+    ch = small_chan(9, fc=f0, acq_range_hz=400.0, snr_min_db=15.0)
+    rx = BankedReceiver([ch], fs=small_cfg.fs, real_input=True)
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    reports = _run(rx, real_stream, fs, L)
+    r = reports[3][0]
+    assert r is not None and r.locked, rx.log
+    assert abs(r.fc_hz - f0) < 0.5, r.fc_hz
+    assert abs(r.gd_ns - 321.0 * 1e9 / small_cfg.fs) < 2e3, r.gd_ns
+
+
+def test_output_row_format_and_files(small_cfg, two_prn_stream, tmp_path):
+    """Per-second rows and rxcomplex.log match the reference's printf
+    formats (rxcomplex.cpp:736-753, 760-790)."""
+    import re
+
+    chans = [small_chan(9), small_chan(27, prn_id=101)]
+    rx = BankedReceiver(chans, fs=small_cfg.fs, out_dir=str(tmp_path))
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    _run(rx, two_prn_stream, fs, L)
+
+    assert dat_filename(chans[0]) == "chA.pn100.50kcps.dat"
+    path = tmp_path / "chA.pn100.50kcps.dat"
+    assert path.exists()
+    row = path.read_text().splitlines()[0]
+    # fc phi cnt ib*dur gd dg sdgd pk pnoise — 9 columns
+    cols = row.split()
+    assert len(cols) == 9
+    # printf widths: %14.6lf %11.8lf %3d %5.3lf %14.6lf %11.6lf %8.4lf %7.3lf %7.3lf
+    assert re.match(
+        r"^\s*-?\d+\.\d{6} +-?\d\.\d{8} +\d+ +0\.000 +-?\d+\.\d{6} "
+        r"+-?\d+\.\d{6} +-?\d+\.\d{4} +-?\d+\.\d{3} +-?\d+\.\d{3}$",
+        row,
+    ), row
+    log = (tmp_path / "rxcomplex.log").read_text()
+    assert "code lock   : Ch. A, PRN#100, count = " in log
+
+
+def test_reload_params_keeps_unchanged_state(small_cfg, two_prn_stream):
+    """sdr.param hot-reload (rxcomplex.cpp:257-285): unchanged rows keep
+    lock; a changed row forces re-acquisition of that channel only."""
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    chans = [small_chan(9), small_chan(27, prn_id=101)]
+    rx = BankedReceiver(chans, fs=small_cfg.fs)
+    _run(rx, two_prn_stream, fs, L, n_seconds=3)
+    assert rx.states[0].is_trk and rx.states[1].is_trk
+
+    # identical params -> nothing re-initialized
+    same = (
+        "A N 100 0.0 50 50 500 50 20\n"
+        "A N 101 0.0 50 50 500 50 20\n"
+    )
+    assert rx.reload_params(same) == []
+    assert rx.states[0].is_trk and rx.states[1].is_trk
+
+    # change channel 1's fc_init -> channel 1 resets, channel 0 keeps lock
+    changed = (
+        "A N 100 0.0 50 50 500 50 20\n"
+        "A N 101 -100.0 50 50 500 50 20\n"
+    )
+    assert rx.reload_params(changed) == [1]
+    assert rx.states[0].is_trk
+    assert not rx.states[1].is_trk
+    # and the reset channel re-acquires on the next second
+    seg = two_prn_stream[3 * fs : 4 * fs + 2 * L]
+    rx.process_second({"A": seg})
+    assert rx.states[1].is_trk
+
+
+def test_reload_params_host_receiver(small_cfg):
+    rx = Receiver([small_chan(9)], fs=small_cfg.fs)
+    rx.states[0].is_trk = True
+    assert rx.reload_params("A N 100 0.0 50 50 500 50 20\n") == []
+    assert rx.states[0].is_trk
+    # factor-2 band semantics: stored range within [new, 2*new) matches
+    assert rx.reload_params("A N 100 0.0 50 50 300 50 20\n") == []
+    assert rx.reload_params("A N 100 0.0 50 50 600 50 20\n") == [0]
+    assert not rx.states[0].is_trk
+    # row count change truncates/extends
+    assert rx.reload_params("") == [0]
+    assert len(rx.channels) == 0
