@@ -100,6 +100,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("op_txt")
     p.add_argument("ltfb_txt")
 
+    p = sub.add_parser(
+        "go1s", help="session workflow: four archives -> .1s products"
+    )
+    p.add_argument("op_dir")
+    p.add_argument("ltfb_dir")
+    p.add_argument("-o", "--output", default=None, help="default: op_dir")
+    p.add_argument("--fs", type=float, default=5e6)
+    p.add_argument("--nint", type=int, default=1)
+    p.add_argument("--no-1s", action="store_true", help="solve only")
+
     p = sub.add_parser("dllpll", help="DLL/PLL multi-channel receiver")
     p.add_argument("capture")
     p.add_argument("--param", required=True, help="sdr.param channel file")
@@ -249,6 +259,29 @@ def _dispatch(args) -> int:
             print("already processed", file=sys.stderr)
             return 0
         print(f"{len(out['rows'])} rows -> {args.output}")
+        return 0
+
+    if args.cmd == "go1s":
+        from amaranth_twstft_tpu.models import go1s
+
+        res = go1s.process_sessions(
+            args.op_dir,
+            args.ltfb_dir,
+            args.output,
+            fs=args.fs,
+            nint=args.nint,
+            gen_1s=not args.no_1s,
+            verbose=True,
+        )
+        print(
+            json.dumps(
+                [
+                    {k: v for k, v in r.items() if k != "files"}
+                    for r in res
+                ],
+                default=str,
+            )
+        )
         return 0
 
     if args.cmd == "twoway":

@@ -1,0 +1,139 @@
+"""go_1s session workflow: four archives -> .1s products, end to end."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from amaranth_twstft_tpu.models import go1s
+from amaranth_twstft_tpu.models.twoway import GatingPolicy
+from amaranth_twstft_tpu.utils import matio
+
+FS = 5e6
+N_CODES = 300  # 12 s of 40 ms codes
+TRUE_OFFSET_NS = 37.5  # injected clock offset
+
+
+def _archive(path, delay_ns, rng, n=N_CODES, bad_head=5, bad_tail=3,
+             gzip_it=True):
+    """A claudio-style archive with a given per-code delay series (ns)."""
+    delay_samples = np.asarray(delay_ns) * FS / 1e9
+    indice = np.floor(delay_samples)
+    corr3 = (delay_samples - indice) * 3.0  # correction on the 3x grid
+    amp = np.full(n, 1000.0)
+    amp[:bad_head] = 10.0  # below the half-max gate
+    if bad_tail:
+        amp[-bad_tail:] = 10.0
+    xval = amp * np.exp(1j * rng.uniform(0, 2 * np.pi, n))
+    ch = dict(
+        indice=indice,
+        correction=corr3,
+        snr_r=np.full(n, 5e-4),
+        snr_i=np.full(n, 1e-5),
+        df=np.full(n, 100.0),
+        puissance=np.full(n, 1.0),
+        xval=xval,
+    )
+    raw_path = path[:-3] if path.endswith(".gz") else path
+    matio.save_claudio_style(raw_path, ch)
+    if gzip_it:
+        with open(raw_path, "rb") as f:
+            data = f.read()
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+        os.remove(raw_path)
+    return path
+
+
+@pytest.fixture()
+def session_dirs(tmp_path):
+    rng = np.random.default_rng(3)
+    op = tmp_path / "OP"
+    lt = tmp_path / "LTFB"
+    op.mkdir()
+    lt.mkdir()
+    ts_op, ts_lt = 1755400003, 1755400007  # same decade (go_1s.m:124)
+    codes = np.arange(N_CODES)
+    noise = lambda s: rng.normal(0, 0.02, N_CODES)  # noqa: E731
+    # loopbacks: flat delays; remotes: loopback + one-way + clock term
+    op_lo = 100.0 + noise(0)
+    lt_lo = 80.0 + noise(1)
+    path_d = 250.0  # common one-way path
+    op_re = op_lo + path_d + TRUE_OFFSET_NS + noise(2)
+    lt_re = lt_lo + path_d - TRUE_OFFSET_NS + noise(3)
+    _archive(str(op / f"localclaudio{ts_op}_2.mat.gz"), op_lo, rng)
+    _archive(str(op / f"remoteclaudio{ts_op}_1.mat.gz"), op_re, rng)
+    _archive(str(lt / f"localclaudio{ts_lt}_2.mat.gz"), lt_lo, rng)
+    _archive(str(lt / f"remoteclaudio{ts_lt}_1.mat.gz"), lt_re, rng)
+    return str(op), str(lt)
+
+
+def test_find_sessions(session_dirs):
+    op, lt = session_dirs
+    sessions = go1s.find_sessions(op, lt)
+    assert len(sessions) == 1
+    s = sessions[0]
+    assert s.ts_op == 1755400003 and s.ts_lt == 1755400007
+    assert "remoteclaudio" in s.op_re and "_1" in s.op_re
+
+
+def test_process_sessions_recovers_offset(session_dirs, tmp_path):
+    op, lt = session_dirs
+    out = tmp_path / "out"
+    out.mkdir()
+    res = go1s.process_sessions(
+        op, lt, str(out), fs=FS,
+        policy=GatingPolicy(codes_per_second=25),
+        verbose=True,
+    )
+    assert len(res) == 1
+    r = res[0]
+    # res = 0.5*((opre-oplo)-(ltre-ltlo)) = TRUE_OFFSET_NS
+    assert abs(r["res_mean_ns"] - TRUE_OFFSET_NS) < 0.05, r
+    assert r["res_std_ns"] < 0.2
+    assert r["n_codes"] > 250
+
+    # .1s file: header + one row per second, reference byte format
+    path = r["one_s_path"]
+    assert path is not None and os.path.exists(path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "# MJD\t\tOPlocal\tOPremote\tLTFBlocal\tLTBBremote"
+    body = [ln.split("\t") for ln in lines[1:]]
+    assert len(body) >= 10  # ~11 full seconds survive gating
+    assert all(len(c) == 5 for c in body)
+    # columns reproduce the series and the MJD advances 1 s per row
+    mjds = np.array([float(c[0]) for c in body])
+    # %f rows quantize the MJD to 1e-6 day (the reference's own format)
+    np.testing.assert_allclose(np.diff(mjds), 1.0 / 86400.0, atol=1e-6)
+    oplo = np.array([float(c[1]) for c in body])
+    opre = np.array([float(c[2]) for c in body])
+    ltlo = np.array([float(c[3]) for c in body])
+    ltre = np.array([float(c[4]) for c in body])
+    tw = 0.5 * ((opre - oplo) - (ltre - ltlo))
+    np.testing.assert_allclose(tw, TRUE_OFFSET_NS, atol=0.05)
+
+    # idempotent resume: second run skips the session
+    res2 = go1s.process_sessions(
+        op, lt, str(out), fs=FS, policy=GatingPolicy(codes_per_second=25)
+    )
+    assert res2 == []
+
+
+def test_gating_drops_low_amplitude_head(session_dirs):
+    op, lt = session_dirs
+    ses = go1s.find_sessions(op, lt)[0]
+    out = go1s.site_delays(ses.op_lo, ses.op_re, FS)
+    assert out is not None
+    lo_ns, re_ns, snr = out
+    # 5 low-amp + 11 dropped codes at the head, low-amp tail trimmed
+    assert len(lo_ns) <= N_CODES - 5 - 11 - 3 + 1
+    assert len(lo_ns) == len(re_ns)
+    np.testing.assert_allclose(lo_ns, 100.0, atol=0.1)
+
+
+def test_go1s_mjd_matches_reference_formula():
+    # 2025-08-17 ~03:06 UTC; MJD of that midnight is 60904
+    ts = 1755400000
+    mjd = go1s.go1s_mjd(ts)
+    assert abs(mjd - (60904.0 + 0.129398 + 0.5 - 0.084)) < 2e-3, mjd
