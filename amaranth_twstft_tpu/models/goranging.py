@@ -64,11 +64,15 @@ def process_file(
 
     # --- per-file df pre-pass (decimated squaring FFT) -----------------
     from amaranth_twstft_tpu.ops import boundary
-    from amaranth_twstft_tpu.ops.doppler import per_file_df_ri
+    from amaranth_twstft_tpu.ops.doppler import (
+        bound_prepass_window,
+        per_file_df_ri,
+    )
 
     accel = boundary.on_accelerator()
     np_dtype = np.complex64 if dtype == jnp.complex64 else np.complex128
     dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2, dtype=np_dtype)
+    dec = bound_prepass_window(dec)
 
     def _pfd(x, windowed):
         if accel:

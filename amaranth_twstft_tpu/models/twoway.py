@@ -268,6 +268,7 @@ def carrier_phase_refine(
     """
     import jax.numpy as jnp
 
+    from amaranth_twstft_tpu.models.dllpll import _phase_unwrap_scan
     from amaranth_twstft_tpu.ops.peaks import (
         median_iqr_sigma,
         weighted_linear_fit,
@@ -276,12 +277,15 @@ def carrier_phase_refine(
     xval = np.asarray(xval)
     n = len(xval)
     phi = np.angle(xval) / (2.0 * np.pi)  # cycles in (-0.5, 0.5]
-    unwrapped = np.empty(n)
-    last = phi[0] if n else 0.0
-    for i in range(n):
-        folded = phi[i] - 0.5 * np.round((phi[i] - last) * 2.0)
-        unwrapped[i] = folded
-        last = folded
+    # the receiver's half-cycle unwrap scan, shared (all weights 1:
+    # every phase participates, exactly the loop this replaced)
+    unwrapped = np.asarray(
+        _phase_unwrap_scan(
+            jnp.asarray(phi),
+            jnp.ones(n),
+            jnp.asarray(phi[0] if n else 0.0),
+        )
+    )
     med, sig = median_iqr_sigma(jnp.asarray(unwrapped))
     med, sig = float(med), float(sig)
     if sig == 0.0:

@@ -37,7 +37,30 @@ __all__ = [
     "search_df_candidates",
     "refresh_df",
     "fine_df_phase_drift",
+    "bound_prepass_window",
 ]
+
+
+def bound_prepass_window(
+    x: np.ndarray, min_keep: int = 1 << 18, max_pow2: int = 21
+) -> np.ndarray:
+    """Cap the df pre-pass input at a power-of-two window.
+
+    The C++ chain squaring-FFTs the WHOLE decimated file
+    (``processing/CPP/main.cpp:363-450``); on TPU an arbitrary-length FFT
+    whose odd factor is large lowers to a dense DFT matmul — a 60 s
+    capture's 12M-point pre-pass tried to materialize an f32[93750,93750]
+    (35 GB) on v5e.  Streams longer than ``min_keep`` decimated samples
+    are truncated to the largest power of two <= min(len, 2**max_pow2):
+    at 200 kS/s that is a >=1.3 s (<=10.5 s) window with <=0.8 Hz squaring
+    bins — far below the estimator's +/-half-bin use downstream.
+    Deliberate deviation, documented in PARITY.md.
+    """
+    n = x.shape[-1]
+    if n <= min_keep:
+        return x
+    k = min(int(np.floor(np.log2(n))), max_pow2)
+    return x[..., : 1 << k]
 
 
 def window_mask(n: int, fs: float, lo_hz: float, hi_hz: float) -> np.ndarray:

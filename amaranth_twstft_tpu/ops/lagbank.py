@@ -134,6 +134,14 @@ def _lag_bank_jnp(obs_ri: jax.Array, wav_lags: jax.Array):
 def lag_bank_correlate(obs_ri, wav_lags, use_pallas: bool = False):
     """Power/phase lag bank.
 
+    SIGN CONVENTION: ``phase`` is ``atan2(-im, re)`` — the reference
+    DGEMM epilogue's convention (``rxcomplex.cpp:1070``), which is the
+    CONJUGATE of the residual carrier phase under an ``exp(-j2πft)``
+    downconversion.  A carrier loop fitting this phase's slope must
+    negate it first or ``fc += round(slope)`` diverges (the receivers in
+    ``models/dllpll.py`` / ``models/tracker.py`` do; see PARITY.md
+    deviation 8).
+
     Default is the plain XLA contraction: measured at production DLL/PLL
     geometry ((2,48,4e5) x (4e5,57) on v5e) XLA's dots run 1.56 ms vs
     2.6 ms for the Pallas K-tiled kernel — XLA's K-split scheduling beats

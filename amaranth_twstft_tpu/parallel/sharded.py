@@ -24,12 +24,18 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from amaranth_twstft_tpu.ops.caf import caf_peaks
 from amaranth_twstft_tpu.ops.correlator import correlate_epochs
 
-__all__ = ["make_sharded_caf_step", "make_sharded_lagbank_step", "shard_blocks"]
+__all__ = [
+    "make_sharded_caf_step",
+    "make_sharded_lagbank_step",
+    "shard_blocks",
+    "shard_blocks_multihost",
+]
 
 
 def shard_blocks(mesh: Mesh, blocks, offsets, fcode, code_interp, shifts):
@@ -51,6 +57,35 @@ def shard_blocks(mesh: Mesh, blocks, offsets, fcode, code_interp, shifts):
         put(fcode, NamedSharding(mesh, P())),
         put(code_interp, NamedSharding(mesh, P())),
         put(shifts, NamedSharding(mesh, P(c))),
+    )
+
+
+def shard_blocks_multihost(
+    mesh: Mesh, local_blocks, local_offsets, fcode, code_interp, shifts
+):
+    """Multi-host :func:`shard_blocks`: each process contributes its LOCAL
+    time blocks (the per-host capture segment it ingested), assembled into
+    one global array without any host ever holding the whole stream —
+    the jax.distributed replacement for the reference's scp/rsync record
+    shipping (``experiments/221219_twoway/README.md:4-10``, SURVEY.md
+    §2.6 "remote-host offload").
+
+    ``local_blocks``: (n_time_local, block+halo) — this process's
+    contiguous share of the time axis, in process order.  Replicated
+    constants (replica spectra, Doppler grid) are identical on every host.
+    """
+    t, c = mesh.axis_names
+    n_c = mesh.shape[c]
+    pad = (-shifts.shape[0]) % n_c
+    if pad:
+        shifts = jnp.concatenate([shifts, jnp.repeat(shifts[-1:], pad)])
+    mk = jax.make_array_from_process_local_data
+    return (
+        mk(NamedSharding(mesh, P(t, None)), np.asarray(local_blocks)),
+        mk(NamedSharding(mesh, P(t)), np.asarray(local_offsets)),
+        jax.device_put(fcode, NamedSharding(mesh, P())),
+        jax.device_put(code_interp, NamedSharding(mesh, P())),
+        jax.device_put(shifts, NamedSharding(mesh, P(c))),
     )
 
 
@@ -162,6 +197,11 @@ def make_sharded_lagbank_step(mesh: Mesh, axis: str | None = None):
     ``obs_ri``: (C, 2, codes, nobs) float32 and ``wav_lags``:
     (C, nobs, nlags) float32, C a multiple of the axis size.  Results are
     shard-count invariant (``tests/test_sharded.py``).
+
+    ``phase`` keeps the reference's ``atan2(-im, re)`` convention — the
+    CONJUGATE of the residual carrier phase; negate before feeding a
+    carrier loop (see ``ops/lagbank.lag_bank_correlate`` and PARITY.md
+    deviation 8).
     """
     from amaranth_twstft_tpu.ops.lagbank import lag_bank_correlate
 

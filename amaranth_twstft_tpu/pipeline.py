@@ -28,7 +28,163 @@ __all__ = [
     "process_directory",
     "gzip_archives",
     "follow_capture",
+    "process_capture_overlapped",
 ]
+
+
+def process_capture_overlapped(
+    capture_path: str,
+    code_path: str,
+    signal: SignalConfig,
+    proc: ProcessingConfig | None = None,
+    remote: bool = False,
+    foffset_hz: float = 0.0,
+    batch_epochs: int = 50,
+    out_mat: str | None = None,
+    prefetch: int = 2,
+) -> dict:
+    """GoRanging semantics, end to end, with host IO overlapped with
+    device compute.
+
+    The reference overlaps its two channel pthreads with file reads via
+    semaphores (``processing/CPP/main.cpp:180-187,487-497``).  The
+    TPU-era layout:
+
+    - a prefetch thread packs interleaved sc16 straight into the
+      real-valued boundary layout (one pass, no complex intermediate),
+    - BOTH channels of each batch run as one device program (the channel
+      pair becomes the leading batch axis with a per-epoch fixed-df
+      vector), so the per-batch relay cost is paid once,
+    - results of batch k are fetched while batch k+1 computes and batch
+      k+2 is being read — a two-deep software pipeline.
+
+    Returns the GoRanging output dict plus a ``timing`` breakdown.
+    """
+    import queue
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amaranth_twstft_tpu.models.godual import ChannelArrays, build_replica
+    from amaranth_twstft_tpu.models.goranging import default_mat_name
+    from amaranth_twstft_tpu.ops import boundary
+    from amaranth_twstft_tpu.ops.doppler import (
+        bound_prepass_window,
+        per_file_df,
+        per_file_df_ri,
+    )
+
+    proc = proc or ProcessingConfig(hamming_window=True)
+    t_all = time.time()
+    rep = build_replica(code_path, signal, proc, conjugate=True)
+    L = rep.samples_per_code
+    n_chan = 1 if remote else 2
+
+    # --- df pre-pass (decimate-by-N whole-file squaring FFT) ----------
+    t0 = time.time()
+    dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
+    dec = bound_prepass_window(dec)
+    accel = boundary.on_accelerator()
+
+    def _pfd(x, windowed):
+        if accel:
+            return per_file_df_ri(
+                jnp.asarray(boundary.pack_complex(x)), signal.fs,
+                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
+            )
+        return per_file_df(
+            jnp.asarray(x), signal.fs, proc.df_decimation,
+            foffset_hz=foffset_hz, windowed=windowed,
+        )
+
+    dfs = [float(_pfd(dec[0], True))]
+    if n_chan == 2:
+        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
+    t_df = time.time() - t0
+
+    # --- prefetch thread: disk -> packed (C, n, L, 2) batches ----------
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def reader():
+        start = 0
+        while True:
+            d, n = io.read_sc16_epochs_ri(
+                capture_path, start, batch_epochs, L, channels=2
+            )
+            if n == 0:
+                break
+            q.put((d, n))
+            start += n * L
+            if n < batch_epochs:
+                break
+        q.put(None)
+
+    th = threading.Thread(target=reader, daemon=True)
+    t0 = time.time()
+    th.start()
+
+    step = boundary.make_ranging_step(
+        np.asarray(rep.fcode), np.asarray(rep.code_interp),
+        np.ones(L, bool), signal.fs, nint=proc.nint,
+    )
+    df_full = np.repeat(
+        np.asarray(dfs[:n_chan], np.float32), batch_epochs
+    )  # (n_chan*B,) per-epoch fixed df
+
+    chans = [ChannelArrays() for _ in range(n_chan)]
+    pending: list[tuple] = []  # (outs, n) not yet fetched
+
+    def drain(entry):
+        outs, n = entry
+        res = boundary.to_epoch_result(outs)  # d2h fetch = the sync point
+        for c in range(n_chan):
+            sl = slice(c * n, c * n + n)
+            sub = type(res)(
+                **{
+                    f: getattr(res, f)[sl]
+                    for f in res.__dataclass_fields__
+                }
+            )
+            chans[c].extend(sub, np.full((n,), dfs[c]))
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        d, n = item
+        iq = jnp.asarray(
+            d[:n_chan, :n].reshape(n_chan * n, L, 2)
+        )
+        dfv = (
+            jnp.asarray(df_full) if n == batch_epochs
+            else jnp.asarray(np.repeat(np.asarray(dfs[:n_chan], np.float32), n))
+        )
+        outs = step(iq, df_fixed=dfv)  # async dispatch
+        pending.append((outs, n))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
+    th.join()
+    t_loop = time.time() - t0
+
+    out = {
+        "ch1": chans[0].asdict(),
+        "ch2": chans[1].asdict() if n_chan == 2 else None,
+        "df": dfs,
+    }
+    t0 = time.time()
+    out_mat = out_mat or default_mat_name(capture_path, remote)
+    matio.save_c_style(out_mat, out["ch1"], out["ch2"])
+    out["mat_path"] = out_mat
+    out["timing"] = {
+        "df_prepass_s": t_df,
+        "epoch_loop_s": t_loop,
+        "mat_write_s": time.time() - t0,
+        "total_s": time.time() - t_all,
+    }
+    return out
 
 
 def next_sampling_window(now: _dt.datetime) -> tuple[_dt.datetime, float]:

@@ -1,40 +1,134 @@
 #!/usr/bin/env python
-"""Benchmark: full per-epoch correlator chain throughput on one chip.
+"""Benchmark: end-to-end capture processing + kernel + tracking throughput.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MS/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "MS/s", "vs_baseline": N, ...extras}
 
-Baseline: the fastest reference implementation (C++/FFTW + 2 worker
-pthreads) processes a 5 s dual-channel record (2 ch x 25 MS) in 13 s on an
-Intel i5-3610ME — 3.846 MS/s of IQ samples through the full chain
-(``experiments/221219_twoway/README.md:37``, BASELINE.md).  ``vs_baseline``
-is our samples/s divided by that.
+Primary metric — **IO-inclusive end-to-end throughput**: a multi-minute
+dual-channel sc16 capture is synthesized on disk, then processed through
+the complete GoRanging pipeline (mmap ingest -> decimated df pre-pass ->
+batched dual-channel correlation with host IO overlapped with device
+compute -> .mat write); the value is IQ samples per wall-second over the
+whole run.  Baseline: the fastest reference implementation (C++/FFTW + 2
+worker pthreads) does a 5 s dual-channel record (50 MS of IQ) in 13 s on
+an Intel i5-3610ME — 3.846 MS/s (``experiments/221219_twoway/README.md:37``,
+BASELINE.md).
 
-The benched step is the *complete* per-epoch pipeline at production signal
-geometry (squaring-FFT Doppler estimate + mix + FFT + conj-code product +
-3x zero-pad IFFT + parabolic peak + code-aligned SNR), not a bare FFT.
-All device I/O is real-valued (axon relay constraint — see
-``amaranth_twstft_tpu/ops/boundary.py``).
+Extras reported on the same line:
+- ``kernel_msps``: resident-data correlator-chain throughput (the r01
+  metric — one fori_loop program, no IO),
+- ``capture_hour_s_1chip``: extrapolated wall seconds to process one
+  capture-hour (2 ch x 5 MS/s) on this chip, end to end,
+- ``capture_hour_s_v5e16``: /16 linear extrapolation (time blocks and
+  channels shard; see parallel/sharded.py + MULTICHIP dryrun),
+- ``tracking_ch_seconds_per_s``: DLL/PLL bank throughput — channel-seconds
+  of 120-channel production-geometry tracking per wall second
+  (reference: 120 channels in real time = 120).
+
+Knobs: TWSTFT_BENCH_SECONDS (capture length, default 60),
+TWSTFT_BENCH_DIR (scratch dir), TWSTFT_BENCH_TRACK=0 (skip tracking).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    from amaranth_twstft_tpu.utils.platform import enable_compile_cache
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
-    enable_compile_cache()
 
+def synthesize_capture_file(path: str, cfg, n_seconds: int) -> None:
+    """Dual-channel sc16 capture: 4 distinct second-blocks tiled, each a
+    delayed+Doppler-shifted code + noise per channel (int16 interleaved,
+    the rx_multi_samples wire format)."""
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import chips_to_pm1, upsample_zoh
+
+    chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len)
+    code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip), np.float32)
+    L = cfg.samples_per_code
+    n_sec = int(cfg.fs)
+    rng = np.random.default_rng(7)
+    t = np.arange(n_sec, dtype=np.float64) / cfg.fs
+    blocks = []
+    for b in range(4):
+        frame = np.empty((n_sec, 4), dtype=np.int16)
+        for c, (delay, dop, amp, sig) in enumerate(
+            [(1234, 130.0, 800, 300), (56, 5.0, 2000, 150)]
+        ):
+            sec = np.tile(np.roll(code, delay), n_sec // L)
+            lo = np.exp(2j * np.pi * dop * t)
+            z = amp * sec * lo
+            frame[:, 2 * c] = (
+                z.real + rng.normal(0, sig, n_sec)
+            ).astype(np.int16)
+            frame[:, 2 * c + 1] = (
+                z.imag + rng.normal(0, sig, n_sec)
+            ).astype(np.int16)
+        blocks.append(frame.tobytes())
+    with open(path, "wb") as f:
+        for s in range(n_seconds):
+            f.write(blocks[s % 4])
+
+
+def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+
+    cap = os.path.join(scratch, "bench_capture.bin")
+    code = os.path.join(scratch, "bench_code.bin")
+    write_prn_file(code, cfg.bit_len, cfg.code_len, cfg.taps)
+    t0 = time.time()
+    synthesize_capture_file(cap, cfg, n_seconds)
+    log(f"synthesized {n_seconds}s capture "
+        f"({os.path.getsize(cap)/1e9:.2f} GB) in {time.time()-t0:.1f} s")
+
+    proc = ProcessingConfig(hamming_window=True)
+    kw = dict(batch_epochs=50, out_mat=os.path.join(scratch, "bench_out.mat"))
+    t0 = time.time()
+    out = pipeline.process_capture_overlapped(cap, code, cfg, proc, **kw)
+    cold = time.time() - t0
+    log(f"end-to-end cold (incl. compiles): {cold:.1f} s  {out['timing']}")
+    t0 = time.time()
+    out = pipeline.process_capture_overlapped(cap, code, cfg, proc, **kw)
+    warm = time.time() - t0
+    log(f"end-to-end warm: {warm:.1f} s  {out['timing']}")
+
+    # correctness spot check: the injected 1234/56-sample delays
+    d1 = float(
+        np.median(out["ch1"]["indice"] + out["ch1"]["correction"])
+    ) / 3.0
+    d2 = float(
+        np.median(out["ch2"]["indice"] + out["ch2"]["correction"])
+    ) / 3.0
+    log(f"delays: ch1 {d1:.3f} (exp ~1234)  ch2 {d2:.3f} (exp ~56); "
+        f"df {out['df']}")
+    assert abs(d1 - 1234) < 1.0 and abs(d2 - 56) < 1.0, (d1, d2)
+
+    samples = n_seconds * cfg.fs * 2  # IQ samples, both channels
+    os.remove(cap)
+    return {
+        "e2e_msps": samples / warm / 1e6,
+        "e2e_cold_s": cold,
+        "e2e_warm_s": warm,
+        "capture_hour_s_1chip": 3600.0 / n_seconds * warm,
+    }
+
+
+def bench_kernel(cfg) -> float:
+    """The r01 resident-data metric: full per-epoch chain, one fori_loop
+    program, a single d2h fetch as the sync (axon relay: per-step host
+    dispatch costs ~15 ms and would measure the relay, not the chip)."""
     import jax
     import jax.numpy as jnp
 
-    from amaranth_twstft_tpu.config import SignalConfig
     from amaranth_twstft_tpu.ops.boundary import make_ranging_step, pack_complex
     from amaranth_twstft_tpu.ops.doppler import window_mask
     from amaranth_twstft_tpu.ops.lfsr import prn_chips
@@ -45,19 +139,13 @@ def main() -> None:
         upsample_zoh,
     )
 
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-
-    cfg = SignalConfig()  # production: L=200000, 25 codes/s
     L = cfg.samples_per_code
-    B = 50  # 2 s of epochs per step
-
+    B = 50
     chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len)
     code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip), np.float32)
     fcode = np.asarray(code_spectrum(code)).astype(np.complex64)
     code3 = interp_code(code, 3).astype(np.float32)
     mask = window_mask(L, cfg.fs, -20e3, 20e3)
-
     rng = np.random.default_rng(0)
     sig = 800 * np.roll(code, 1234).astype(np.complex64)[None, :]
     d_np = (
@@ -66,21 +154,12 @@ def main() -> None:
         + 1j * rng.normal(0, 200, (B, L)).astype(np.float32)
     ).astype(np.complex64)
     iq = jax.device_put(jnp.asarray(pack_complex(d_np)))
-
     step = make_ranging_step(fcode, code3, mask, cfg.fs, nint=1)
 
     t0 = time.time()
     out = step(iq)
-    _ = np.asarray(out.indice)  # d2h is the only reliable sync on the relay
-    print(f"compile+first run: {time.time()-t0:.1f} s", file=sys.stderr)
-
-    # Run the whole iteration loop inside ONE program: iterations chain
-    # through a data dependency (a bias derived from the previous output
-    # folded into the input) so the device executes them sequentially,
-    # and a single d2h fetch at the end is the sync.  Per-step host
-    # dispatches through the axon relay cost ~15 ms each and would
-    # dominate (measured 89 ms/step dispatched vs 17 ms/step looped).
-    import jax
+    _ = np.asarray(out.indice)
+    log(f"kernel compile+first run: {time.time()-t0:.1f} s")
 
     iters = 20
 
@@ -100,30 +179,114 @@ def main() -> None:
 
     t0 = time.time()
     _ = float(np.asarray(run(iq)[1]))
-    compile2 = time.time() - t0
+    log(f"kernel loop compile {time.time()-t0:.1f} s")
     t0 = time.time()
     _ = float(np.asarray(run(iq)[1]))
     dt = time.time() - t0
-    print(f"loop compile {compile2:.1f} s", file=sys.stderr)
-    samples_per_s = B * L * iters / dt
+    msps = B * L * iters / dt / 1e6
+    delay = step(iq).delay_samples()[0]
+    log(f"kernel: {iters}x{B} epochs in {dt:.3f} s -> {msps:.1f} MS/s; "
+        f"delay check {delay:.3f} (exp ~1234)")
+    return msps
 
-    out = step(iq)
-    delay = out.delay_samples()[0]
-    print(
-        f"{iters} steps x {B} epochs in {dt:.3f} s -> "
-        f"{samples_per_s/1e6:.1f} MS/s; delay check {delay:.3f} (exp ~1234); "
-        f"snr {out.snr_db()[0]:.1f} dB",
-        file=sys.stderr,
+
+def bench_tracking(cfg) -> float:
+    """120-channel production-geometry DLL/PLL bank: wall time per tracked
+    second (banked_track_step, one program for the whole bank)."""
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.models.dllpll import ChannelConfig, build_channel
+    from amaranth_twstft_tpu.models.tracker import (
+        banked_track_step,
+        build_bank,
+        phase_tables,
     )
+    from amaranth_twstft_tpu.ops.lfsr import find_mseq_taps
+
+    C = 120
+    taps = find_mseq_taps(17, C)
+    t0 = time.time()
+    chans = [
+        build_channel(
+            ChannelConfig(physical="A" if i % 2 == 0 else "B", prn_id=100 + i,
+                          taps=taps[i], nlag=28),
+            cfg.fs,
+        )
+        for i in range(C)
+    ]
+    bank = build_bank(chans, cfg.fs)
+    log(f"bank build ({C} ch, nobs={bank.nobs}): {time.time()-t0:.1f} s")
+
+    rng = np.random.default_rng(1)
+    S = int(cfg.fs) + bank.nobs
+    bufs = rng.normal(0, 300, (2, S, 2)).astype(np.float32)
+    pt = rng.integers(0, bank.nobs, C).astype(np.int32)
+    fc = rng.uniform(-4000, 4000, C)
+    theta, t1, t2 = phase_tables(bank, pt, fc)
+    phys = np.array([0 if i % 2 == 0 else 1 for i in range(C)], np.int32)
+    args = (
+        jnp.asarray(bufs), jnp.asarray(bank.wav_ext), jnp.asarray(bank.psbb),
+        jnp.asarray(phys), jnp.asarray(pt), jnp.asarray(theta),
+        jnp.asarray(t1), jnp.asarray(t2),
+        jnp.asarray(np.zeros(C, np.float32)),
+    )
+    kw = dict(ncodes=bank.ncodes, nobs=bank.nobs, nlag=bank.nlag,
+              bps=bank.bps, fs=cfg.fs, group=8)
+    t0 = time.time()
+    outs = banked_track_step(*args, **kw)
+    _ = np.asarray(outs[0])
+    log(f"tracking compile+first second: {time.time()-t0:.1f} s")
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        outs = banked_track_step(*args, **kw)
+        _ = np.asarray(outs[0])
+    per_second = (time.time() - t0) / reps
+    log(f"tracking: {C} channels x 1 s in {per_second:.3f} s "
+        f"({C/per_second:.0f} channel-seconds/s)")
+    return C / per_second
+
+
+def main() -> None:
+    from amaranth_twstft_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    from amaranth_twstft_tpu.config import SignalConfig
+
+    log(f"device: {jax.devices()[0]}")
+    cfg = SignalConfig()  # production geometry: L=200000, 25 codes/s
+    scratch = os.environ.get("TWSTFT_BENCH_DIR", "/tmp")
+    n_seconds = int(os.environ.get("TWSTFT_BENCH_SECONDS", "60"))
+
+    kernel_msps = bench_kernel(cfg)
+    e2e = bench_end_to_end(cfg, n_seconds, scratch)
+    track = 0.0
+    if os.environ.get("TWSTFT_BENCH_TRACK", "1") != "0":
+        try:
+            track = bench_tracking(cfg)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            log(f"tracking bench failed: {e!r}")
 
     baseline = 50e6 / 13.0  # C++/FFTW: 5 s 2-ch record in 13 s
     print(
         json.dumps(
             {
-                "metric": "correlator-chain IQ throughput (1 chip, full per-epoch pipeline)",
-                "value": round(samples_per_s / 1e6, 2),
+                "metric": "end-to-end capture processing (1 chip, IO-inclusive:"
+                " ingest + df pre-pass + correlation + .mat)",
+                "value": round(e2e["e2e_msps"], 2),
                 "unit": "MS/s",
-                "vs_baseline": round(samples_per_s / baseline, 1),
+                "vs_baseline": round(e2e["e2e_msps"] * 1e6 / baseline, 1),
+                "kernel_msps": round(kernel_msps, 2),
+                "e2e_cold_s": round(e2e["e2e_cold_s"], 2),
+                "capture_hour_s_1chip": round(e2e["capture_hour_s_1chip"], 2),
+                "capture_hour_s_v5e16": round(
+                    e2e["capture_hour_s_1chip"] / 16.0, 2
+                ),
+                "tracking_ch_seconds_per_s": round(track, 1),
+                "bench_seconds": n_seconds,
             }
         )
     )

@@ -82,3 +82,49 @@ def test_cli_config_roundtrip(tmp_path, capsys):
     rc = cli.main(["config", "--load", str(cfg_file)])
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["signal"]["fs"] == 5e6
+
+
+def test_overlapped_matches_goranging(small_cfg, tmp_path):
+    """process_capture_overlapped (fused dual-channel step + prefetch
+    pipeline) reproduces goranging.process_file's solutions exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models import goranging
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.utils import io
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2,
+        seed=5,
+    )
+    cap = str(tmp_path / "1755400000.bin")
+    io.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True, df_decimation=5)
+
+    base = goranging.process_file(
+        cap, code, small_cfg, proc, batch_epochs=16,
+        out_mat=str(tmp_path / "base.mat"),
+    )
+    fast = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=16,
+        out_mat=str(tmp_path / "fast.mat"),
+    )
+    assert fast["df"] == base["df"]
+    for ch in ("ch1", "ch2"):
+        np.testing.assert_array_equal(fast[ch]["indice"], base[ch]["indice"])
+        np.testing.assert_allclose(
+            fast[ch]["correction"], base[ch]["correction"], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            fast[ch]["snr_r"], base[ch]["snr_r"], rtol=1e-3
+        )
+    assert fast["timing"]["total_s"] > 0
