@@ -31,6 +31,7 @@ __all__ = [
     "snr_estimator_sweep",
     "interpolation_effect",
     "qpsk_vs_bpsk_study",
+    "slip_repair_study",
 ]
 
 
@@ -178,3 +179,45 @@ def qpsk_vs_bpsk_study(
         out[f"{name}_mean"] = float(np.mean(dl))
         out[f"{name}_std_samples"] = float(np.std(dl))
     return out
+
+
+def slip_repair_study(
+    n_codes: int = 600,
+    slip_at: int = 300,
+    slip_len: int = 25,
+    slip_samples: float = -2.0,
+    noise_sigma: float = 0.05,
+    seed: int = 0,
+) -> dict:
+    """The 240527 campaign's 2-sample slip repair (``experiments/240527/
+    go.m:53-59,96-106``, the ``corrige`` flag).
+
+    The campaign saw occasional 2-sample (one chip at 2 S/chip) jumps in
+    the per-code delay series; ``go.m`` detrends each series linearly,
+    flags codes whose residual leaves the median by more than one sample,
+    and pulls them back by 2 samples (plus the empirical +0.05 for the
+    remote series).  This study reproduces the policy on a synthetic
+    series with an injected slip and reports the 1 s-smoothed std with
+    and without the repair — the campaign's acceptance criterion.
+
+    Returns {"std_raw", "std_repaired", "n_flagged"} (samples).
+    """
+    rng = np.random.default_rng(seed)
+    r = 100.0 + rng.normal(0, noise_sigma, n_codes)
+    r[slip_at : slip_at + slip_len] += slip_samples  # slip .. re-seek
+    t = np.arange(n_codes)
+
+    def smoothed_std(x):
+        c = np.convolve(x - x.mean(), np.ones(25) / 25.0, mode="full")
+        return float(np.std(c[24:-25]))
+
+    coef = np.polyfit(t, r, 1)
+    resid = r - np.polyval(coef, t)
+    flagged = np.abs(resid - np.median(resid)) > 1.0
+    repaired = r.copy()
+    repaired[flagged] -= slip_samples  # go.m: r(ktmp) = r(ktmp) - 2
+    return {
+        "std_raw": smoothed_std(r),
+        "std_repaired": smoothed_std(repaired),
+        "n_flagged": int(flagged.sum()),
+    }

@@ -70,3 +70,14 @@ def test_qpsk_does_not_improve_timing(small_cfg):
     assert abs(r["qpsk_mean"] - 137.25) < 0.2, r
     # and QPSK is no more precise than BPSK
     assert r["qpsk_std_samples"] > 0.8 * r["bpsk_std_samples"], r
+
+
+def test_slip_repair_study():
+    """240527 campaign: the corrige policy recovers the pre-slip noise
+    floor (go.m:53-59)."""
+    from amaranth_twstft_tpu.studies import slip_repair_study
+
+    out = slip_repair_study()
+    assert out["n_flagged"] >= 20  # the slip excursion flags
+    assert out["std_repaired"] < 0.1 * out["std_raw"]
+    assert out["std_repaired"] < 0.05
