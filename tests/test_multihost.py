@@ -101,6 +101,11 @@ def test_two_process_sharded_step(tmp_path):
     script.write_text(WORKER)
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # make the package importable regardless of install state (the worker
+    # runs `python /tmp/.../worker.py`, which puts the script dir — not the
+    # repo — on sys.path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2", str(port),
