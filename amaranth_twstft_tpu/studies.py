@@ -26,13 +26,32 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "CODE_LENGTH_CAMPAIGN",
     "snr_despreading",
     "snr_xcorr_floor",
     "snr_estimator_sweep",
     "interpolation_effect",
     "qpsk_vs_bpsk_study",
     "slip_repair_study",
+    "code_length_study",
 ]
+
+#: The 221207 two-way code-length campaign's seven bitstream configurations
+#: ``(bit_len, taps, code_len)`` (reference
+#: ``experiments/221207_twoway_codes/README.md:10-19``).  Code lengths span
+#: 5 kchip (2 ms codes) to 2.5 Mchip (the 230111 one-second code,
+#: ``experiments/230111_twstft_2M5``); every sequence is the truncation of
+#: the underlying m-sequence to ``code_len`` chips, exactly as the gateware
+#: restarts the LFSR every ``code_len`` chips.
+CODE_LENGTH_CAMPAIGN = (
+    (13, 27, 5_000),
+    (14, 43, 10_000),
+    (15, 3, 25_000),
+    (17, 9, 100_000),
+    (18, 39, 250_000),
+    (19, 39, 500_000),
+    (22, 3, 2_500_000),
+)
 
 
 def snr_despreading(x: np.ndarray, code: np.ndarray) -> np.ndarray:
@@ -179,6 +198,75 @@ def qpsk_vs_bpsk_study(
         out[f"{name}_mean"] = float(np.mean(dl))
         out[f"{name}_std_samples"] = float(np.std(dl))
     return out
+
+
+def code_length_study(
+    configs=((13, 27, 1_000), (15, 3, 4_000), (17, 9, 16_000)),
+    samples_per_chip: int = 2,
+    fs: float = 5e6,
+    amplitude: float = 1.0,
+    noise_sigma: float = 4.0,
+    n_epochs: int = 48,
+    delay_samples: int = 123,
+    seed: int = 0,
+) -> dict:
+    """The 221207 campaign's question: how does timing precision scale
+    with code length?
+
+    The campaign flew seven bitstreams from 5 kchip to 2.5 Mchip
+    (``experiments/221207_twoway_codes/README.md:10-19``,
+    :data:`CODE_LENGTH_CAMPAIGN`) to measure the two-way std as a function
+    of code length.  Matched-filter theory says the delay estimator std
+    scales as ``1/sqrt(code_len)`` at fixed chip rate and per-sample SNR
+    (longer coherent integration); the campaign's plots confirm it.  Here
+    the experiment is synthetic with known truth: each configuration's
+    truncated m-sequence is emitted at a fixed fractional delay with fixed
+    noise, processed by the production correlator (FFT x conj(code FFT),
+    3x interpolation, parabolic peak — ``godual_ranging.m:25-33``), and
+    the per-epoch delay std is recorded.
+
+    The epoch axis is batched into one program per configuration (the
+    lengths differ, so shapes differ — one compile each); defaults are
+    scaled-down lengths so the study runs in seconds on CPU.  Pass
+    ``configs=CODE_LENGTH_CAMPAIGN`` for the full campaign geometry.
+
+    Returns ``{"code_len", "std_samples", "mean_samples"}`` arrays aligned
+    with ``configs``.
+    """
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.ops.correlator import correlate_epochs, delay_seconds
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import (
+        chips_to_pm1,
+        code_spectrum,
+        interp_code,
+        upsample_zoh,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = {"code_len": [], "std_samples": [], "mean_samples": []}
+    for bit_len, taps, code_len in configs:
+        code = chips_to_pm1(
+            upsample_zoh(prn_chips(bit_len, taps, code_len), samples_per_chip)
+        )
+        L = len(code)
+        sig = amplitude * np.roll(code, delay_samples)
+        d = sig[None, :] + rng.normal(
+            0, noise_sigma, (n_epochs, L)
+        ) + 1j * rng.normal(0, noise_sigma, (n_epochs, L))
+        res = correlate_epochs(
+            jnp.asarray(d),
+            code_spectrum(code),
+            jnp.zeros((n_epochs,)),
+            jnp.asarray(interp_code(code, 3)),
+            fs,
+        )
+        dl = np.asarray(delay_seconds(res, fs, 3)) * fs
+        rows["code_len"].append(code_len)
+        rows["std_samples"].append(float(np.std(dl)))
+        rows["mean_samples"].append(float(np.mean(dl)))
+    return {k: np.asarray(v) for k, v in rows.items()}
 
 
 def slip_repair_study(

@@ -81,3 +81,35 @@ def test_slip_repair_study():
     assert out["n_flagged"] >= 20  # the slip excursion flags
     assert out["std_repaired"] < 0.1 * out["std_raw"]
     assert out["std_repaired"] < 0.05
+
+
+def test_code_length_study_sqrt_scaling():
+    """221207 campaign: delay std scales ~1/sqrt(code_len) at fixed chip
+    rate and per-sample SNR (README.md:10-19; lengths scaled down 16x)."""
+    from amaranth_twstft_tpu.studies import code_length_study
+
+    out = code_length_study()
+    # every configuration recovers the injected 123-sample delay
+    assert np.all(np.abs(out["mean_samples"] - 123.0) < 0.5), out
+    # precision improves monotonically with code length ...
+    assert out["std_samples"][0] > out["std_samples"][1] > out["std_samples"][2]
+    # ... following the matched-filter 1/sqrt(N) law (16x length -> 4x
+    # std, within estimation noise of 48 epochs)
+    ratio = out["std_samples"][0] / out["std_samples"][2]
+    assert 2.0 < ratio < 8.0, out
+
+
+def test_campaign_geometries_are_expressible():
+    """All seven 221207 bitstream configurations (incl. the 230111
+    one-second 2.5 Mchip code) are valid SignalConfigs with the right
+    derived cadence."""
+    from amaranth_twstft_tpu.config import SignalConfig
+    from amaranth_twstft_tpu.studies import CODE_LENGTH_CAMPAIGN
+
+    for bit_len, taps, code_len in CODE_LENGTH_CAMPAIGN:
+        cfg = SignalConfig(code_len=code_len, bit_len=bit_len, taps=taps)
+        assert cfg.samples_per_code == 2 * code_len
+        assert code_len < 2**bit_len  # truncation of the m-sequence
+    one_s = SignalConfig(code_len=2_500_000, bit_len=22, taps=3)
+    assert one_s.codes_per_second == 1.0
+    assert one_s.code_duration == 1.0
