@@ -34,6 +34,8 @@ __all__ = [
     "qpsk_vs_bpsk_study",
     "slip_repair_study",
     "code_length_study",
+    "timing_interpolation_study",
+    "analyse_satre_series",
 ]
 
 #: The 221207 two-way code-length campaign's seven bitstream configurations
@@ -267,6 +269,109 @@ def code_length_study(
         rows["std_samples"].append(float(np.std(dl)))
         rows["mean_samples"].append(float(np.mean(dl)))
     return {k: np.asarray(v) for k, v in rows.items()}
+
+
+def timing_interpolation_study(
+    code_len: int = 4_000,
+    bit_len: int = 15,
+    taps: int = 3,
+    samples_per_chip: int = 2,
+    fs: float = 5e6,
+    noise_sigma: float = 0.2,
+    n_epochs: int = 64,
+    seed: int = 1,
+) -> dict:
+    """The 220830 SATRE-comparison campaign's interpolation conclusion.
+
+    ``experiments/220830_OP/analysis.m`` (summary table at the bottom):
+    correlation interpolation ``Nint > 0`` is **mandatory** for timing —
+    without it the delay std inflates ~15x (6.1e-9 vs 4.0e-10 s) because
+    the 3-point parabola is biased at fractional peak offsets — while
+    ``Nint > 1`` brings nothing (4.5e-10 at Nint=2).
+
+    Here each epoch carries an exact fractional delay drifting linearly
+    across one full sample (frequency-domain phase-ramp synthesis, the
+    fractional-offset sweep the satellite path produces over a session),
+    and the same epochs are processed at Nint = 0, 1, 2.  Returns
+    ``{"nint", "std_samples", "mean_err_samples"}`` where std is of the
+    (estimate - truth) error series.
+    """
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.ops.correlator import correlate_epochs, delay_seconds
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import (
+        chips_to_pm1,
+        code_spectrum,
+        interp_code,
+        upsample_zoh,
+    )
+
+    code = chips_to_pm1(
+        upsample_zoh(prn_chips(bit_len, taps, code_len), samples_per_chip)
+    )
+    L = len(code)
+    rng = np.random.default_rng(seed)
+    truth = 123.0 + np.linspace(0.0, 1.0, n_epochs, endpoint=False)
+    k = np.fft.fftfreq(L) * L
+    fc = np.fft.fft(code)
+    sig = np.fft.ifft(
+        fc[None, :] * np.exp(-2j * np.pi * k[None, :] * truth[:, None] / L),
+        axis=-1,
+    )
+    d = sig + rng.normal(0, noise_sigma, (n_epochs, L)) + 1j * rng.normal(
+        0, noise_sigma, (n_epochs, L)
+    )
+
+    rows = {"nint": [], "std_samples": [], "mean_err_samples": []}
+    fcode = code_spectrum(code)
+    for nint in (0, 1, 2):
+        res = correlate_epochs(
+            jnp.asarray(d),
+            fcode,
+            jnp.zeros((n_epochs,)),
+            jnp.asarray(interp_code(code, 2 * nint + 1)),
+            fs,
+            nint=nint,
+        )
+        err = np.asarray(delay_seconds(res, fs, 2 * nint + 1)) * fs - truth
+        rows["nint"].append(nint)
+        rows["std_samples"].append(float(np.std(err)))
+        rows["mean_err_samples"].append(float(np.mean(err)))
+    return {k2: np.asarray(v) for k2, v in rows.items()}
+
+
+def analyse_satre_series(
+    x: np.ndarray,
+    continuous: bool = False,
+    outlier_s: float = 10e-9,
+    smooth: int = 250,
+) -> dict:
+    """``analyse_satre`` cleaning policy (``experiments/220830_OP/
+    analysis.m:9-40``): quadratic detrend, NaN any |residual| > 10 ns
+    *and both neighbors*, drop the NaNs, and for continuous (SATRE
+    250 Hz) series apply a 250-point sliding mean then decimate by 250.
+
+    Returns ``{"clean": residual series (s), "std": float, "kept": mask
+    into the original series}``.
+    """
+    t = np.arange(len(x), dtype=float)
+    coef = np.polyfit(t, x, 2)
+    r = x - np.polyval(coef, t)
+    bad = np.abs(r) > outlier_s
+    k = np.flatnonzero(bad)
+    # analysis.m NaNs k-1 and k+1 too (edge indices trimmed first)
+    k = k[(k > 0) & (k < len(r) - 1)]
+    keep = np.ones(len(r), bool)
+    keep[np.concatenate([k - 1, k, k + 1])] = False
+    keep &= ~bad  # edge outliers themselves always go
+    r = r[keep]
+    if continuous and len(r) >= smooth:
+        r = np.convolve(r, np.ones(smooth) / smooth, mode="full")[
+            smooth // 2 : -(smooth // 2)
+        ]
+        r = r[::smooth]
+    return {"clean": r, "std": float(np.std(r)), "kept": keep}
 
 
 def slip_repair_study(

@@ -113,3 +113,34 @@ def test_campaign_geometries_are_expressible():
     one_s = SignalConfig(code_len=2_500_000, bit_len=22, taps=3)
     assert one_s.codes_per_second == 1.0
     assert one_s.code_duration == 1.0
+
+
+def test_timing_interpolation_mandatory():
+    """220830 campaign conclusion: Nint>0 is mandatory for timing (no
+    interpolation inflates the delay std ~15x), Nint>1 adds nothing
+    (analysis.m summary table)."""
+    from amaranth_twstft_tpu.studies import timing_interpolation_study
+
+    out = timing_interpolation_study()
+    s0, s1, s2 = out["std_samples"]
+    assert s0 > 5.0 * s1, out  # no interpolation = fluctuations
+    assert s2 < 2.0 * s1, out  # Nint=2 is not better than Nint=1
+    assert s1 < 0.05, out  # interpolated timing is sub-1/20-sample
+
+
+def test_analyse_satre_outlier_policy():
+    """analysis.m:9-21: quadratic detrend, NaN |r|>10 ns plus both
+    neighbors, drop; continuous series smoothed 250 and decimated."""
+    from amaranth_twstft_tpu.studies import analyse_satre_series
+
+    rng = np.random.default_rng(5)
+    x = 1e-9 * rng.normal(0, 0.3, 2000) + 5e-9 * np.arange(2000) ** 2 / 2000**2
+    x[700] += 50e-9  # outlier
+    out = analyse_satre_series(x)
+    assert not out["kept"][699] and not out["kept"][700] and not out["kept"][701]
+    assert out["kept"].sum() == 1997
+    assert out["std"] < 1e-9
+    cont = analyse_satre_series(x, continuous=True)
+    # 250-point mean + decimate-by-250: ~2000/250 points survive
+    assert 4 <= len(cont["clean"]) <= 9
+    assert cont["std"] < out["std"]
