@@ -220,12 +220,17 @@ def banked_track_step(
 ):
     """All channels' tracking second in one program.
 
-    ``iq_ri``: (n_buffers, S, 2) float32 sample buffers (raw physical
+    ``iq_ri``: (n_buffers, S, 2) float sample buffers (raw physical
     channels + optional SIC-cleaned rows); per-channel arrays are stacked
-    on axis 0 (C channels).  Returns the (C,)-shaped fit results
-    ``(c0p, c1p, c0g_rel, c1g, chi2, cnt, pk_mean, last_phi, locked)``
-    (all real/ints — safe to fetch from the TPU).
+    on axis 0 (C channels).  ``iq_ri`` may arrive as float16 — sc16
+    samples ship half-precision through the relay tunnel (~4x the f32
+    byte rate, -66 dB quantization; see ``utils/io.read_sc16_epochs_ri``)
+    and are cast to f32 here, on device.  Returns the (C,)-shaped fit
+    results ``(c0p, c1p, c0g_rel, c1g, chi2, cnt, pk_mean, last_phi,
+    locked)`` (all real/ints — safe to fetch from the TPU).
     """
+    if iq_ri.dtype in (jnp.float16, jnp.bfloat16):
+        iq_ri = iq_ri.astype(jnp.float32)
     fn = partial(
         _track_one,
         iq_ri,

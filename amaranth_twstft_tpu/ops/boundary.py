@@ -27,8 +27,10 @@ __all__ = [
     "unpack_complex",
     "RangingOutputs",
     "ranging_step",
+    "ranging_step_packed",
     "make_ranging_step",
     "to_epoch_result",
+    "unpack_outputs",
     "on_accelerator",
 ]
 
@@ -42,9 +44,12 @@ def on_accelerator() -> bool:
     return _jax.devices()[0].platform != "cpu"
 
 
-def pack_complex(z: np.ndarray) -> np.ndarray:
-    """complex (host) -> float32 (..., 2) for boundary crossing."""
-    out = np.empty(z.shape + (2,), dtype=np.float32)
+def pack_complex(z: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """complex (host) -> float (..., 2) for boundary crossing.
+
+    ``dtype=np.float16`` halves the bytes over the tunnel (the jitted
+    consumers cast back to f32 on device)."""
+    out = np.empty(z.shape + (2,), dtype=dtype)
     out[..., 0] = np.real(z)
     out[..., 1] = np.imag(z)
     return out
@@ -81,14 +86,13 @@ class RangingOutputs:
         return 10.0 * np.log10(np.asarray(self.snr_r) + np.asarray(self.snr_i))
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "fs", "nint", "conjugate_data", "use_mask", "fast", "mxu_fft",
-        "fine_freq",
-    ),
+_RANGING_STATICS = (
+    "fs", "nint", "conjugate_data", "use_mask", "fast", "mxu_fft",
+    "fine_freq",
 )
-def ranging_step(
+
+
+def _ranging_impl(
     iq: jax.Array,
     fcode_ri: jax.Array,
     code_interp: jax.Array,
@@ -111,7 +115,15 @@ def ranging_step(
     chain's fixed per-file df.  ``fcode_ri`` is the replica spectrum as
     (L, 2) float; ``fcode_interp_ri`` the conjugated interpolated-code
     spectrum ((2*nint+1)*L, 2) for the SNR identity.
+
+    ``iq`` may be float16: the relay tunnel moves half-precision at ~4x
+    the float32 byte rate, so the ingest path ships sc16 samples as
+    numerically-converted f16 (exact below 2048, <=2^-11 relative
+    rounding above — -66 dB quantization, negligible against the -13 dB
+    RF operating point) and the cast to f32 happens here, on device.
     """
+    if iq.dtype in (jnp.float16, jnp.bfloat16):
+        iq = iq.astype(jnp.float32)
     d = jax.lax.complex(iq[..., 0], iq[..., 1])
     fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
     fcode3 = None
@@ -165,6 +177,65 @@ def ranging_step(
     )
 
 
+ranging_step = partial(jax.jit, static_argnames=_RANGING_STATICS)(_ranging_impl)
+
+#: Column order of the packed output row (see :func:`unpack_outputs`).
+PACKED_FIELDS = (
+    "indice", "correction", "df", "snr_r", "snr_i",
+    "puissance", "puissance_code", "puissance_noise",
+)
+PACKED_WIDTH = len(PACKED_FIELDS) + 6  # + xval_ri [m1,0,p1] x [re,im]
+
+
+def _flatten_outputs(out: RangingOutputs) -> jax.Array:
+    cols = [getattr(out, f).astype(jnp.float32) for f in PACKED_FIELDS]
+    xflat = out.xval_ri.reshape(out.xval_ri.shape[:-2] + (6,)).astype(
+        jnp.float32
+    )
+    return jnp.concatenate([jnp.stack(cols, axis=-1), xflat], axis=-1)
+
+
+@partial(jax.jit, static_argnames=_RANGING_STATICS)
+def ranging_step_packed(
+    iq: jax.Array,
+    fcode_ri: jax.Array,
+    code_interp: jax.Array,
+    mask: jax.Array,
+    df_fixed: jax.Array,
+    fs: float,
+    nint: int = 1,
+    conjugate_data: bool = False,
+    use_mask: bool = True,
+    fcode_interp_ri: jax.Array | None = None,
+    fast: bool = False,
+    fine_matrix_ri: jax.Array | None = None,
+    mxu_fft: bool = False,
+    fine_freq: bool = False,
+) -> jax.Array:
+    """:func:`ranging_step`, with every output flattened into ONE
+    ``(..., 14)`` float32 array so the host pays a single d2h fetch per
+    batch instead of nine (each fetch through the relay costs ~25-50 ms
+    of fixed latency).  Decode with :func:`unpack_outputs`.  ``indice``
+    rides as float32 — exact, since it is < 3L < 2^24."""
+    return _flatten_outputs(_ranging_impl(
+        iq, fcode_ri, code_interp, mask, df_fixed, fs,
+        nint=nint, conjugate_data=conjugate_data, use_mask=use_mask,
+        fcode_interp_ri=fcode_interp_ri, fast=fast,
+        fine_matrix_ri=fine_matrix_ri, mxu_fft=mxu_fft, fine_freq=fine_freq,
+    ))
+
+
+def unpack_outputs(arr: np.ndarray) -> RangingOutputs:
+    """Host-side decode of :func:`ranging_step_packed` rows back into a
+    numpy-backed :class:`RangingOutputs`."""
+    a = np.asarray(arr)
+    kw = {f: a[..., i] for i, f in enumerate(PACKED_FIELDS)}
+    kw["indice"] = kw["indice"].astype(np.int32)
+    n = len(PACKED_FIELDS)
+    kw["xval_ri"] = a[..., n : n + 6].reshape(a.shape[:-1] + (3, 2))
+    return RangingOutputs(**kw)
+
+
 def make_ranging_step(
     fcode: np.ndarray,
     code_interp: np.ndarray,
@@ -176,8 +247,12 @@ def make_ranging_step(
     fine_width: int | None = None,
     mxu_fft: bool | None = None,
     fine_freq: bool = False,
+    packed: bool = False,
 ):
     """Bind replica/mask once; return ``step(iq_f32, df_fixed=None)``.
+
+    ``packed=True`` returns the single-array flattened outputs
+    (:func:`ranging_step_packed`) — one d2h fetch per batch.
 
     The bound arrays are uploaded as real buffers; callers feed
     ``pack_complex``-ed IQ and read back :class:`RangingOutputs`.
@@ -220,15 +295,17 @@ def make_ranging_step(
             np.stack([e.real, e.imag], axis=-1).astype(np.float32)
         )
 
-    def step(iq: jax.Array, df_fixed=None) -> RangingOutputs:
+    fn = ranging_step_packed if packed else ranging_step
+
+    def step(iq: jax.Array, df_fixed=None):
         if df_fixed is None:
-            return ranging_step(
+            return fn(
                 iq, fcode_ri, code3, mask_j, jnp.float32(0.0), fs,
                 nint=nint, conjugate_data=conjugate_data, use_mask=True,
                 fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
                 mxu_fft=mxu_fft, fine_freq=fine_freq,
             )
-        return ranging_step(
+        return fn(
             iq, fcode_ri, code3, mask_j, jnp.asarray(df_fixed, jnp.float32),
             fs, nint=nint, conjugate_data=conjugate_data, use_mask=False,
             fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,

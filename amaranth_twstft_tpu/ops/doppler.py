@@ -320,10 +320,13 @@ def per_file_df_ri(
     frange_hz: float = 8000.0,
     windowed: bool = True,
 ) -> jax.Array:
-    """Boundary-safe :func:`per_file_df`: float32 (..., 2) in, float out
+    """Boundary-safe :func:`per_file_df`: float (..., 2) in, float out
     (one fused program — required on the axon TPU where complex arrays
     cannot cross the program boundary, and eager op-by-op execution
-    would)."""
+    would).  Accepts float16 input (the fast tunnel transfer format,
+    see ``utils/io.read_sc16_epochs_ri``)."""
+    if x_ri.dtype in (jnp.float16, jnp.bfloat16):
+        x_ri = x_ri.astype(jnp.float32)
     x = jax.lax.complex(x_ri[..., 0], x_ri[..., 1])
     return per_file_df(x, fs, decim, foffset_hz, frange_hz, windowed)
 

@@ -90,24 +90,31 @@ def read_sc16_epochs_ri(
     n_epochs: int,
     samples_per_epoch: int,
     channels: int = 2,
+    dtype=np.float32,
 ):
-    """Epoch reader for the accelerator path: (channels, n, L, 2) float32.
+    """Epoch reader for the accelerator path: (channels, n, L, 2) float.
 
     Packs interleaved int16 IQ straight into the real-valued boundary
     layout (``ops/boundary.py``) — no complex intermediate, one cast, so
     the host side of the ingest->device pipeline stays memory-bound on a
     single pass.
+
+    ``dtype=np.float16`` halves the bytes shipped to the device (the
+    relay tunnel is the end-to-end bottleneck); the conversion is exact
+    for |sample| <= 2048 and <= 2^-11 relative above — -66 dB
+    quantization noise against a -13 dB RF operating point.  The device
+    program casts back to float32 (``ops/boundary._ranging_impl``).
     """
     mm = open_sc16(path, channels)
     total = mm.shape[0]
     n_avail = max(0, (total - start_sample) // samples_per_epoch)
     n = min(n_epochs, n_avail)
     if n == 0:
-        return np.zeros((channels, 0, samples_per_epoch, 2), np.float32), 0
+        return np.zeros((channels, 0, samples_per_epoch, 2), dtype), 0
     raw = np.asarray(
         mm[start_sample : start_sample + n * samples_per_epoch]
-    ).astype(np.float32)
-    out = np.empty((channels, n, samples_per_epoch, 2), dtype=np.float32)
+    ).astype(dtype)
+    out = np.empty((channels, n, samples_per_epoch, 2), dtype=dtype)
     for c in range(channels):
         out[c] = raw[:, 2 * c : 2 * c + 2].reshape(n, samples_per_epoch, 2)
     return out, n

@@ -44,9 +44,17 @@ def log(msg: str) -> None:
 
 
 def synthesize_capture_file(path: str, cfg, n_seconds: int) -> None:
-    """Dual-channel sc16 capture: 4 distinct second-blocks tiled, each a
+    """Dual-channel sc16 capture: 4 distinct second-blocks, each a
     delayed+Doppler-shifted code + noise per channel (int16 interleaved,
-    the rx_multi_samples wire format)."""
+    the rx_multi_samples wire format).
+
+    Every written second is made **content-unique** by cyclically rolling
+    its source block by a per-second multiple of the code period L — the
+    injected delays are invariant under whole-code rolls, but no two
+    ingest batches carry identical bytes.  This defeats the relay
+    tunnel's content-addressed h2d dedup cache, which would otherwise
+    make repeated-content transfers ~25x faster than real captures and
+    inflate the end-to-end number."""
     from amaranth_twstft_tpu.ops.lfsr import prn_chips
     from amaranth_twstft_tpu.ops.prn import chips_to_pm1, upsample_zoh
 
@@ -54,6 +62,7 @@ def synthesize_capture_file(path: str, cfg, n_seconds: int) -> None:
     code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip), np.float32)
     L = cfg.samples_per_code
     n_sec = int(cfg.fs)
+    codes_per_sec = n_sec // L
     rng = np.random.default_rng(7)
     t = np.arange(n_sec, dtype=np.float64) / cfg.fs
     blocks = []
@@ -71,10 +80,13 @@ def synthesize_capture_file(path: str, cfg, n_seconds: int) -> None:
             frame[:, 2 * c + 1] = (
                 z.imag + rng.normal(0, sig, n_sec)
             ).astype(np.int16)
-        blocks.append(frame.tobytes())
+        blocks.append(frame)
     with open(path, "wb") as f:
         for s in range(n_seconds):
-            f.write(blocks[s % 4])
+            # roll by k*L rows: delays unchanged, bytes unique for
+            # lcm(4, codes_per_sec) seconds (= 100 s in production)
+            k = (s * 7) % codes_per_sec
+            f.write(np.roll(blocks[s % 4], k * L, axis=0).tobytes())
 
 
 def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
@@ -219,32 +231,62 @@ def bench_tracking(cfg) -> float:
 
     rng = np.random.default_rng(1)
     S = int(cfg.fs) + bank.nobs
-    bufs = rng.normal(0, 300, (2, S, 2)).astype(np.float32)
+    # Fresh float16 buffers per tracked second: each second of a real
+    # capture has unique content (the relay content-dedupes repeated h2d,
+    # which would hide the transfer cost), and sc16 ships half-precision
+    # (see utils/io.read_sc16_epochs_ri).
+    reps = 3
+    all_bufs = [
+        rng.normal(0, 300, (2, S, 2)).astype(np.float16)
+        for _ in range(reps + 1)
+    ]
     pt = rng.integers(0, bank.nobs, C).astype(np.int32)
     fc = rng.uniform(-4000, 4000, C)
     theta, t1, t2 = phase_tables(bank, pt, fc)
     phys = np.array([0 if i % 2 == 0 else 1 for i in range(C)], np.int32)
-    args = (
-        jnp.asarray(bufs), jnp.asarray(bank.wav_ext), jnp.asarray(bank.psbb),
-        jnp.asarray(phys), jnp.asarray(pt), jnp.asarray(theta),
-        jnp.asarray(t1), jnp.asarray(t2),
-        jnp.asarray(np.zeros(C, np.float32)),
-    )
-    kw = dict(ncodes=bank.ncodes, nobs=bank.nobs, nlag=bank.nlag,
-              bps=bank.bps, fs=cfg.fs, group=8)
+
+    def second(buf):
+        return banked_track_step(
+            jnp.asarray(buf), jnp.asarray(bank.wav_ext),
+            jnp.asarray(bank.psbb), jnp.asarray(phys), jnp.asarray(pt),
+            jnp.asarray(theta), jnp.asarray(t1), jnp.asarray(t2),
+            jnp.asarray(np.zeros(C, np.float32)),
+            ncodes=bank.ncodes, nobs=bank.nobs, nlag=bank.nlag,
+            bps=bank.bps, fs=cfg.fs, group=8,
+        )
+
     t0 = time.time()
-    outs = banked_track_step(*args, **kw)
+    outs = second(all_bufs[-1])
     _ = np.asarray(outs[0])
     log(f"tracking compile+first second: {time.time()-t0:.1f} s")
     t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        outs = banked_track_step(*args, **kw)
+    for r in range(reps):
+        outs = second(all_bufs[r])
         _ = np.asarray(outs[0])
     per_second = (time.time() - t0) / reps
     log(f"tracking: {C} channels x 1 s in {per_second:.3f} s "
         f"({C/per_second:.0f} channel-seconds/s)")
     return C / per_second
+
+
+def measure_link_mbps() -> float:
+    """Fresh-content h2d bandwidth of the relay tunnel, MB/s.
+
+    The tunnel's throughput varies ~100x over minutes (12 MB/s to
+    1.4 GB/s observed); the IO-inclusive end-to-end number is set by it,
+    so it is reported alongside for context.  Uses fresh random f16
+    buffers — the relay content-dedupes repeated h2d, so reused content
+    would measure the cache, not the link."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    bufs = [rng.normal(0, 300, (25, 200000, 2)).astype(np.float16)
+            for _ in range(3)]
+    jax.device_put(bufs[0]).block_until_ready()  # path warmup
+    t0 = time.time()
+    for b in bufs:
+        jax.device_put(b).block_until_ready()
+    return bufs[0].nbytes * 3 / (time.time() - t0) / 1e6
 
 
 def main() -> None:
@@ -261,6 +303,8 @@ def main() -> None:
     scratch = os.environ.get("TWSTFT_BENCH_DIR", "/tmp")
     n_seconds = int(os.environ.get("TWSTFT_BENCH_SECONDS", "60"))
 
+    link = measure_link_mbps()
+    log(f"link h2d (fresh f16): {link:.0f} MB/s")
     kernel_msps = bench_kernel(cfg)
     e2e = bench_end_to_end(cfg, n_seconds, scratch)
     track = 0.0
@@ -286,6 +330,7 @@ def main() -> None:
                     e2e["capture_hour_s_1chip"] / 16.0, 2
                 ),
                 "tracking_ch_seconds_per_s": round(track, 1),
+                "link_h2d_mbps": round(link, 1),
                 "bench_seconds": n_seconds,
             }
         )

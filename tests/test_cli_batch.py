@@ -128,3 +128,43 @@ def test_overlapped_matches_goranging(small_cfg, tmp_path):
             fast[ch]["snr_r"], base[ch]["snr_r"], rtol=1e-3
         )
     assert fast["timing"]["total_s"] > 0
+
+
+def test_overlapped_float16_ingest(small_cfg, tmp_path):
+    """float16 ingest (the accelerator default: the tunnel moves f16 at
+    ~4x the f32 byte rate) recovers the same delays; quantization is
+    -66 dB (exact below |2048|) so corrections move < 1e-2 samples."""
+    import numpy as np
+
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.utils import io
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=1,
+        seed=5,
+    )
+    cap = str(tmp_path / "1755400000.bin")
+    io.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True, df_decimation=5)
+
+    f32 = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=16,
+        out_mat=str(tmp_path / "f32.mat"), ingest_dtype="float32",
+    )
+    f16 = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=16,
+        out_mat=str(tmp_path / "f16.mat"), ingest_dtype="float16",
+    )
+    for ch in ("ch1", "ch2"):
+        np.testing.assert_array_equal(f16[ch]["indice"], f32[ch]["indice"])
+        np.testing.assert_allclose(
+            f16[ch]["correction"], f32[ch]["correction"], atol=1e-2
+        )
