@@ -124,6 +124,12 @@ def _ranging_impl(
     """
     if iq.dtype in (jnp.float16, jnp.bfloat16):
         iq = iq.astype(jnp.float32)
+    if iq.shape[-1] == 4:
+        # interleaved dual-channel ingest layout (n, L, 4) straight off
+        # the sc16 file (utils/io.read_sc16_epochs_packed): deinterleave
+        # on device into channel-major (2n, L, 2) — the host ships one
+        # contiguous buffer and does no strided copies
+        iq = jnp.concatenate([iq[..., 0:2], iq[..., 2:4]], axis=0)
     d = jax.lax.complex(iq[..., 0], iq[..., 1])
     fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
     fcode3 = None

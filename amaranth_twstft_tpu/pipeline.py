@@ -120,10 +120,18 @@ def process_capture_overlapped(
     def reader():
         start = 0
         while True:
-            d, n = io.read_sc16_epochs_ri(
-                capture_path, start, batch_epochs, L, channels=2,
-                dtype=in_dtype,
-            )
+            if n_chan == 2:
+                # single contiguous conversion, both channels in one
+                # buffer; the device deinterleaves (boundary layer)
+                d, n = io.read_sc16_epochs_packed(
+                    capture_path, start, batch_epochs, L, channels=2,
+                    dtype=in_dtype,
+                )
+            else:
+                d, n = io.read_sc16_epochs_ri(
+                    capture_path, start, batch_epochs, L, channels=2,
+                    dtype=in_dtype,
+                )
             if n == 0:
                 break
             q.put((d, n))
@@ -148,13 +156,13 @@ def process_capture_overlapped(
     pending: list[tuple] = []  # (outs, n) not yet fetched
 
     def drain(entry):
-        outs, n = entry
+        outs, n, b = entry  # b = padded batch rows per channel
         # ONE d2h fetch per batch (the sync point), decoded on host
         res = boundary.to_epoch_result(
             boundary.unpack_outputs(np.asarray(outs))
         )
         for c in range(n_chan):
-            sl = slice(c * n, c * n + n)
+            sl = slice(c * b, c * b + n)
             sub = type(res)(
                 **{
                     f: getattr(res, f)[sl]
@@ -168,15 +176,26 @@ def process_capture_overlapped(
         if item is None:
             break
         d, n = item
-        iq = jnp.asarray(
-            d[:n_chan, :n].reshape(n_chan * n, L, 2)
-        )
-        dfv = (
-            jnp.asarray(df_full) if n == batch_epochs
-            else jnp.asarray(np.repeat(np.asarray(dfs[:n_chan], np.float32), n))
-        )
+        if n_chan == 2:
+            if n < batch_epochs:
+                # zero-pad the final partial batch to the full shape: a
+                # fresh shape would cost a fresh multi-minute compile
+                # through the relay; padded rows are sliced off in drain
+                d = np.concatenate(
+                    [d[:n], np.zeros((batch_epochs - n,) + d.shape[1:],
+                                     d.dtype)], axis=0,
+                )
+            b = batch_epochs
+            iq = jnp.asarray(d)  # (B, L, 4): device deinterleaves
+            dfv = jnp.asarray(df_full)
+        else:
+            b = n
+            iq = jnp.asarray(d[:n_chan, :n].reshape(n_chan * n, L, 2))
+            dfv = jnp.asarray(
+                np.repeat(np.asarray(dfs[:n_chan], np.float32), n)
+            )
         outs = step(iq, df_fixed=dfv)  # async dispatch
-        pending.append((outs, n))
+        pending.append((outs, n, b))
         if len(pending) > 1:
             drain(pending.pop(0))
     for entry in pending:

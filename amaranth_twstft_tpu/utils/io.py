@@ -120,6 +120,52 @@ def read_sc16_epochs_ri(
     return out, n
 
 
+def _fast_convert(raw: np.ndarray, dtype) -> np.ndarray:
+    """int16 -> float conversion via torch when available (SIMD half
+    conversions, ~3x numpy's and far less sensitive to CPU contention on
+    small hosts); numpy fallback."""
+    try:
+        import torch
+
+        # np.array: torch.from_numpy requires a writable buffer and the
+        # source is usually a read-only memmap view
+        return torch.from_numpy(np.array(raw)).to(
+            {np.dtype(np.float16): torch.float16,
+             np.dtype(np.float32): torch.float32}[np.dtype(dtype)]
+        ).numpy()
+    except Exception:  # noqa: BLE001 — torch missing or dtype exotic
+        return raw.astype(dtype)
+
+
+def read_sc16_epochs_packed(
+    path: str,
+    start_sample: int,
+    n_epochs: int,
+    samples_per_epoch: int,
+    channels: int = 2,
+    dtype=np.float16,
+):
+    """Minimum-host-work epoch reader: (n, L, 2*channels) float.
+
+    Keeps the file's interleaved sample order (``I1 Q1 I2 Q2`` per frame,
+    ``rx_multi_samples.cpp:155``) so the host does ONE contiguous dtype
+    conversion and zero strided copies; the device program deinterleaves
+    (``ops/boundary._ranging_impl`` handles the last-dim-4 layout).  Both
+    channels ship in a single transfer.
+    """
+    mm = open_sc16(path, channels)
+    total = mm.shape[0]
+    n_avail = max(0, (total - start_sample) // samples_per_epoch)
+    n = min(n_epochs, n_avail)
+    if n == 0:
+        return np.zeros((0, samples_per_epoch, 2 * channels), dtype), 0
+    raw = mm[start_sample : start_sample + n * samples_per_epoch]
+    out = _fast_convert(raw, dtype).reshape(
+        n, samples_per_epoch, 2 * channels
+    )
+    return out, n
+
+
 def decimate_sc16(
     path: str, decim: int, channels: int = 2, dtype=np.complex64
 ) -> np.ndarray:
