@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--remote", action="store_true")
     p.add_argument("--foffset", type=float, default=0.0)
     p.add_argument("--f64", action="store_true")
+    p.add_argument(
+        "--fast", action="store_true",
+        help="IO-overlapped pipeline (f16 ingest on accelerators, one "
+             "fused dual-channel program per batch)",
+    )
 
     p = sub.add_parser("claudio", help="per-code aligned tracking chain")
     p.add_argument("capture")
@@ -211,16 +216,30 @@ def _dispatch(args) -> int:
     if args.cmd == "goranging":
         import jax.numpy as jnp
 
-        from amaranth_twstft_tpu.models import goranging
+        if args.fast:
+            from amaranth_twstft_tpu import pipeline
+            from amaranth_twstft_tpu.config import ProcessingConfig
 
-        out = goranging.process_file(
-            args.capture,
-            args.code,
-            _signal(args),
-            remote=args.remote,
-            foffset_hz=args.foffset,
-            dtype=jnp.complex128 if args.f64 else jnp.complex64,
-        )
+            out = pipeline.process_capture_overlapped(
+                args.capture,
+                args.code,
+                _signal(args),
+                ProcessingConfig(hamming_window=True),
+                remote=args.remote,
+                foffset_hz=args.foffset,
+            )
+            print(f"timing={out['timing']}", file=sys.stderr)
+        else:
+            from amaranth_twstft_tpu.models import goranging
+
+            out = goranging.process_file(
+                args.capture,
+                args.code,
+                _signal(args),
+                remote=args.remote,
+                foffset_hz=args.foffset,
+                dtype=jnp.complex128 if args.f64 else jnp.complex64,
+            )
         print(f"df1={out['df'][0]:.3f}", file=sys.stderr)
         print(out["mat_path"])
         return 0
