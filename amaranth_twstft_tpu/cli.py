@@ -220,6 +220,17 @@ def _dispatch(args) -> int:
             from amaranth_twstft_tpu import pipeline
             from amaranth_twstft_tpu.config import ProcessingConfig
 
+            ingest = None
+            if args.f64:
+                # the overlapped pipeline computes in f32 on device; the
+                # closest honest answer to --f64 is full-precision ingest
+                print(
+                    "warning: --fast runs float32 on device; forcing "
+                    "ingest_dtype=float32 (full-precision ingest) instead "
+                    "of the float64 oracle — drop --fast for true f64",
+                    file=sys.stderr,
+                )
+                ingest = "float32"
             out = pipeline.process_capture_overlapped(
                 args.capture,
                 args.code,
@@ -227,6 +238,7 @@ def _dispatch(args) -> int:
                 ProcessingConfig(hamming_window=True),
                 remote=args.remote,
                 foffset_hz=args.foffset,
+                ingest_dtype=ingest,
             )
             print(f"timing={out['timing']}", file=sys.stderr)
         else:

@@ -298,6 +298,7 @@ class Receiver:
         self._wav_lags: dict[int, jnp.ndarray] = {}
         self.log: list[str] = []
         self._sic_snapshot = [(s.pt, s.fc, s.df) for s in self.states]
+        self._acq_attempt = 0  # probe-epoch diversity counter
 
     def _lag_matrix(self, i: int) -> jnp.ndarray:
         if i not in self._wav_lags:
@@ -320,6 +321,15 @@ class Receiver:
         # THIS second's samples, not the next-second prediction its
         # tracker writes into ``st.pt`` when it runs earlier in the loop.
         self._sic_snapshot = [(s.pt, s.fc, s.df) for s in self.states]
+        # probe-epoch diversity (rxcomplex.cpp:529 picks a random epoch
+        # each second; here deterministic): one shared probe epoch per
+        # second for all cold channels, advanced by a stride coprime to
+        # the codes-per-second count — same policy as BankedReceiver
+        if any(
+            not st.is_trk and iq_by_phys.get(ch.cfg.physical) is not None
+            for ch, st in zip(self.channels, self.states)
+        ):
+            self._acq_attempt += 1
         reports: list[SecondReport | None] = []
         for i, (ch, st) in enumerate(zip(self.channels, self.states)):
             smp = iq_by_phys.get(ch.cfg.physical)
@@ -432,9 +442,17 @@ class Receiver:
     def _acquire(self, i: int, smp: np.ndarray) -> SecondReport | None:
         ch, st = self.channels[i], self.states[i]
         cfg = ch.cfg
-        # one code period somewhere in the second (the reference picks a
-        # random epoch, :529; we use the middle for determinism)
-        start = (len(smp) // 2 // ch.nobs) * ch.nobs
+        # one code period somewhere in the second: deterministic rotation
+        # of the probe epoch across attempts (the reference picks a
+        # random epoch each second, :529 — fixed-forever would let a
+        # burst of interference at one epoch blind a cold channel)
+        import math as _math
+
+        bps = max(1, min(len(smp), int(self.fs)) // ch.nobs)
+        stride = max(1, bps // 3)
+        while _math.gcd(stride, bps) != 1:
+            stride += 1
+        start = ((bps // 2 + (self._acq_attempt - 1) * stride) % bps) * ch.nobs
         d = smp[start : start + ch.nobs]
         if len(d) < ch.nobs:
             return None

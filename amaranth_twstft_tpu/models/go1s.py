@@ -45,7 +45,69 @@ __all__ = [
     "go1s_mjd",
     "write_1s_file",
     "process_sessions",
+    "append_summary",
+    "read_summary",
+    "SUMMARY_NAME",
 ]
+
+#: Campaign summary table: one row per processed session, appended as
+#: sessions complete — the multi-day series the reference reassembles
+#: from per-record ``.txt`` tables (``gofinal_ltfb.m:84-91``) and plots
+#: in ``go_1s.m:356-429``; here a single machine-readable product.
+SUMMARY_NAME = "go1s_summary.txt"
+
+_SUMMARY_COLS = (
+    "mjd", "res_mean_ns", "res_std_ns", "res25_mean_ns", "res25_std_ns",
+    "filtered_std_ns", "n_flagged", "snr_op_db", "snr_lt_db", "n_codes",
+)
+
+
+def append_summary(out_dir: str, row: dict) -> str:
+    """Append one session's summary row to ``go1s_summary.txt``.
+
+    Tab-separated with a commented header; a session (keyed by mjd) that
+    is already present is not duplicated — re-runs are idempotent like
+    the ``.1s`` writer.
+    """
+    path = os.path.join(out_dir, SUMMARY_NAME)
+    existing = {r["mjd"] for r in read_summary(path)}
+    if round(float(row["mjd"]), 6) in existing:
+        return path
+    is_new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if is_new:
+            f.write("# " + "\t".join(_SUMMARY_COLS) + "\n")
+        f.write(
+            "\t".join(
+                f"{int(row[c])}" if c in ("n_flagged", "n_codes")
+                else f"{float(row[c]):.6f}"
+                for c in _SUMMARY_COLS
+            )
+            + "\n"
+        )
+    return path
+
+
+def read_summary(path: str) -> list[dict]:
+    """Read a ``go1s_summary.txt`` back into summary dicts (the
+    round-trip of :func:`append_summary`); missing file -> []."""
+    if not os.path.exists(path):
+        return []
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = line.split("\t")
+            if len(vals) != len(_SUMMARY_COLS):
+                continue
+            row = {}
+            for c, v in zip(_SUMMARY_COLS, vals):
+                row[c] = int(v) if c in ("n_flagged", "n_codes") else float(v)
+            row["mjd"] = round(row["mjd"], 6)
+            rows.append(row)
+    return rows
 
 
 @dataclass(frozen=True)
@@ -229,13 +291,17 @@ def process_sessions(
     policy: GatingPolicy = GatingPolicy(),
     gen_1s: bool = True,
     verbose: bool = False,
+    write_summary: bool = True,
 ) -> list[dict]:
     """The full session loop (``go_1s.m:73-323``): scan, load four
     archives, gate, solve, write ``.1s`` products.  Idempotent: sessions
     whose ``.1s`` file already exists are skipped when ``gen_1s``.
 
     Returns one summary dict per processed session (mjd, res mean/std,
-    25-point mean/std, notch-filtered std, SNR medians, file paths).
+    25-point mean/std, notch-filtered std, SNR medians, file paths);
+    ``write_summary`` also appends each row to ``go1s_summary.txt`` in
+    ``out_dir`` (:func:`append_summary`) so a multi-day campaign series
+    is reconstructable from outputs alone.
     """
     out_dir = out_dir or op_dir
     results = []
@@ -273,20 +339,21 @@ def process_sessions(
                 f"{ses.ts_op}: mjd={mjd0:.4f} res={sol.res_mean:+.3f}"
                 f"+-{sol.res_std:.3f} ns (1s: {sol.res25_std:.3f})"
             )
-        results.append(
-            dict(
-                mjd=mjd0,
-                res_mean_ns=sol.res_mean,
-                res_std_ns=sol.res_std,
-                res25_mean_ns=sol.res25_mean,
-                res25_std_ns=sol.res25_std,
-                filtered_std_ns=sol.filtered_std,
-                n_flagged=sol.n_flagged,
-                snr_op_db=snr_op,
-                snr_lt_db=snr_lt,
-                n_codes=n,
-                one_s_path=path,
-                files=ses,
-            )
+        row = dict(
+            mjd=mjd0,
+            res_mean_ns=sol.res_mean,
+            res_std_ns=sol.res_std,
+            res25_mean_ns=sol.res25_mean,
+            res25_std_ns=sol.res25_std,
+            filtered_std_ns=sol.filtered_std,
+            n_flagged=sol.n_flagged,
+            snr_op_db=snr_op,
+            snr_lt_db=snr_lt,
+            n_codes=n,
+            one_s_path=path,
+            files=ses,
         )
+        if write_summary:
+            row["summary_path"] = append_summary(out_dir, row)
+        results.append(row)
     return results

@@ -294,7 +294,7 @@ def make_sharded_tracker_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "nobs", "nsec", "start", "fs", "win", "chunk", "real_input",
+        "nobs", "nsec", "fs", "win", "chunk", "real_input",
     ),
 )
 def banked_acquire_step(
@@ -303,10 +303,10 @@ def banked_acquire_step(
     buf_idx,
     shifts,
     hyp_ok,
+    start,
     *,
     nobs: int,
     nsec: int,
-    start: int,
     fs: float,
     win: int = 401,
     chunk: int = 4,
@@ -314,7 +314,8 @@ def banked_acquire_step(
 ):
     """Dense CAF acquisition for a batch of channels in one program.
 
-    - one code epoch per channel (at the static ``start`` sample) is
+    - one code epoch per channel (at the TRACED ``start`` sample — a
+      different probe epoch per attempt costs no recompile) is
       searched over the SHARED integer-bin Doppler grid ``shifts``; each
       channel's admissible hypotheses are selected by ``hyp_ok`` (C, H)
       — the union-grid equivalent of the per-channel hierarchical scan
@@ -334,9 +335,11 @@ def banked_acquire_step(
     C = fcode_ri.shape[0]
     fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
 
-    # -- per-channel epoch at the static start (slice BEFORE the row
+    # -- per-channel epoch at the traced start (slice BEFORE the row
     # gather so the gather moves (C, nobs, 2), not (C, S, 2)) -----------
-    segs = iq_ri[:, start : start + nobs][buf_idx]  # (C, nobs, 2)
+    segs = jax.lax.dynamic_slice_in_dim(
+        iq_ri, start.astype(jnp.int32), nobs, axis=1
+    )[buf_idx]  # (C, nobs, 2)
     if real_input:
         d = jax.lax.complex(_SQRT2 * segs[..., 0], jnp.zeros_like(segs[..., 0]))
     else:
@@ -537,6 +540,7 @@ class BankedReceiver:
         self.out_dir = out_dir
         self.acq_chunk = acq_chunk
         self.log: list[str] = []
+        self._acq_attempt = 0  # probe-epoch diversity counter
         self._init_bank([build_channel(c, fs) for c in channels])
 
     # -- setup ----------------------------------------------------------
@@ -728,16 +732,30 @@ class BankedReceiver:
         bin2 = self.fs / nsec
         half_doubled = max(6.0 * bin2, 16.0)
         win = 2 * int(np.ceil(half_doubled / bin2)) + 1
-        start = (int(self.fs) // 2 // b.nobs) * b.nobs
+        # probe-epoch diversity: the reference re-tries acquisition on a
+        # RANDOM epoch each second (rxcomplex.cpp:529) so a transient
+        # interference burst cannot blind it forever; here the epoch
+        # advances deterministically — attempt k probes code
+        # (bps//2 + k*stride) % bps with stride coprime to bps, cycling
+        # through every code position of the second
+        import math as _math
+
+        bps = int(self.fs) // b.nobs
+        stride = max(1, bps // 3)
+        while _math.gcd(stride, bps) != 1:
+            stride += 1
+        start_code = (bps // 2 + self._acq_attempt * stride) % max(bps, 1)
+        self._acq_attempt += 1
+        start = start_code * b.nobs
         df, pt_idx, snr, pk = banked_acquire_step(
             jnp.asarray(bufs),
             jnp.asarray(b.fcode_ri[cold]),
             jnp.asarray(self._buf_idx[cold]),
             jnp.asarray(shifts),
             jnp.asarray(hyp_ok),
+            jnp.asarray(np.int32(start)),
             nobs=b.nobs,
             nsec=nsec,
-            start=start,
             fs=self.fs,
             win=win,
             chunk=self.acq_chunk,

@@ -287,6 +287,15 @@ def make_ranging_step(
     from amaranth_twstft_tpu.ops.zoomdft import fine_window_matrix, zoom_gather
 
     L = int(np.asarray(fcode).shape[-1])
+    if packed and (2 * nint + 1) * L >= 2**24:
+        # packed outputs ship indice as float32, exact only below 2^24;
+        # (2*nint+1)*L beyond that would silently corrupt delay indices
+        # (e.g. nint=2 with the 2.5 Mchip one-second code, L=5M)
+        raise ValueError(
+            f"packed outputs need (2*nint+1)*L < 2**24 to ship indice as "
+            f"float32 exactly; got {(2 * nint + 1) * L} (nint={nint}, "
+            f"L={L}) — use packed=False"
+        )
     fcode_ri = jnp.asarray(pack_complex(np.asarray(fcode)))
     code3_np = np.asarray(code_interp, dtype=np.float64)
     code3 = jnp.asarray(code3_np.astype(np.float32))

@@ -88,16 +88,23 @@ def process_capture_overlapped(
     L = rep.samples_per_code
     n_chan = 1 if remote else 2
 
+    accel = boundary.on_accelerator()
+    # resolve the ingest dtype BEFORE the df pre-pass so
+    # ingest_dtype="float32" restores full precision end to end (the
+    # per-file df biases every epoch's correction)
+    if ingest_dtype is None:
+        ingest_dtype = "float16" if accel else "float32"
+    in_dtype = np.dtype(ingest_dtype)
+
     # --- df pre-pass (decimate-by-N whole-file squaring FFT) ----------
     t0 = time.time()
     dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
     dec = bound_prepass_window(dec)
-    accel = boundary.on_accelerator()
 
     def _pfd(x, windowed):
         if accel:
             return per_file_df_ri(
-                jnp.asarray(boundary.pack_complex(x, dtype=np.float16)),
+                jnp.asarray(boundary.pack_complex(x, dtype=in_dtype)),
                 signal.fs,
                 proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
             )
@@ -113,9 +120,6 @@ def process_capture_overlapped(
 
     # --- prefetch thread: disk -> packed (C, n, L, 2) batches ----------
     q: queue.Queue = queue.Queue(maxsize=prefetch)
-    if ingest_dtype is None:
-        ingest_dtype = "float16" if accel else "float32"
-    in_dtype = np.dtype(ingest_dtype)
 
     def reader():
         start = 0

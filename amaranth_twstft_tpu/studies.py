@@ -352,6 +352,16 @@ def analyse_satre_series(
     *and both neighbors*, drop the NaNs, and for continuous (SATRE
     250 Hz) series apply a 250-point sliding mean then decimate by 250.
 
+    Two deliberate deviations from ``analysis.m`` (both make the policy
+    stricter/simpler, neither changes any campaign conclusion):
+
+    - an outlier at the very first/last sample is DROPPED here, while the
+      Octave script trims edge indices from ``k`` before NaN-ing and so
+      keeps such a sample (only its missing neighbor is spared);
+    - the sliding mean uses a centered full-mode convolution sliced to
+      ``n-1`` interior points, vs Octave's ``(125:end-125)`` (``n``
+      points, half-window transients included at both ends).
+
     Returns ``{"clean": residual series (s), "std": float, "kept": mask
     into the original series}``.
     """

@@ -81,11 +81,29 @@ def synthesize_capture_file(path: str, cfg, n_seconds: int) -> None:
                 z.imag + rng.normal(0, sig, n_sec)
             ).astype(np.int16)
         blocks.append(frame)
+    import math
+
+    # roll stride coprime to codes_per_sec so k cycles through ALL
+    # codes_per_sec offsets (k=(s*7)%cps degenerates when gcd(7,cps)>1,
+    # e.g. cps=1 one-second codes -> k=0 forever and the relay dedup
+    # cache inflates throughput)
+    stride = max(2, codes_per_sec // 3)
+    while math.gcd(stride, codes_per_sec) != 1:
+        stride += 1
+    if codes_per_sec == 1:
+        stride = 0  # single-code seconds: rolls cannot vary content
+    unique_s = (4 * codes_per_sec) // math.gcd(4, codes_per_sec)
+    if n_seconds > unique_s:
+        log(
+            f"warning: capture content repeats after {unique_s} s "
+            f"(< {n_seconds} s requested); relay h2d dedup may inflate "
+            "the reported end-to-end throughput"
+        )
     with open(path, "wb") as f:
         for s in range(n_seconds):
             # roll by k*L rows: delays unchanged, bytes unique for
             # lcm(4, codes_per_sec) seconds (= 100 s in production)
-            k = (s * 7) % codes_per_sec
+            k = (s * stride) % codes_per_sec
             f.write(np.roll(blocks[s % 4], k * L, axis=0).tobytes())
 
 

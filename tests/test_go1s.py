@@ -120,6 +120,30 @@ def test_process_sessions_recovers_offset(session_dirs, tmp_path):
     assert res2 == []
 
 
+def test_summary_product_roundtrip(session_dirs, tmp_path):
+    """Campaign summary rows persist and reconstruct from outputs alone
+    (the multi-day series of go_1s.m:356-429 / gofinal_ltfb.m:84-91)."""
+    op, lt = session_dirs
+    out = tmp_path / "out"
+    out.mkdir()
+    res = go1s.process_sessions(
+        op, lt, str(out), fs=FS, policy=GatingPolicy(codes_per_second=25)
+    )
+    assert len(res) == 1
+    spath = res[0]["summary_path"]
+    assert os.path.exists(spath)
+    rows = go1s.read_summary(spath)
+    assert len(rows) == 1
+    r = rows[0]
+    for col in ("mjd", "res_mean_ns", "res_std_ns", "res25_std_ns",
+                "snr_op_db", "snr_lt_db"):
+        assert abs(r[col] - float(res[0][col.replace("snr_", "snr_")])) < 1e-5
+    assert r["n_codes"] == res[0]["n_codes"]
+    # appending the same session again does not duplicate the row
+    go1s.append_summary(str(out), res[0])
+    assert len(go1s.read_summary(spath)) == 1
+
+
 def test_gating_drops_low_amplitude_head(session_dirs):
     op, lt = session_dirs
     ses = go1s.find_sessions(op, lt)[0]

@@ -173,6 +173,42 @@ def test_real_input_mode(small_cfg):
     assert abs(r.gd_ns - 321.0 * 1e9 / small_cfg.fs) < 2e3, r.gd_ns
 
 
+def test_acquisition_probe_epoch_diversity(small_cfg):
+    """A burst of interference parked on the (former) fixed mid-second
+    probe epoch must not blind acquisition forever: the probe epoch
+    advances deterministically each attempt (the reference re-tries a
+    random epoch each second, rxcomplex.cpp:529)."""
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    bps = fs // L
+    (stream,) = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=137.0, doppler_hz=100.0, amplitude=900,
+                    noise_sigma=50.0)],
+        n_seconds=6,
+        seed=23,
+    )
+    stream = np.array(stream)
+    # jam the first probe epoch (code bps//2) of EVERY second
+    jam = np.random.default_rng(5).normal(0, 60000, (6, L)) \
+        + 1j * np.random.default_rng(6).normal(0, 60000, (6, L))
+    for s in range(6):
+        lo = s * fs + (bps // 2) * L
+        stream[lo : lo + L] += jam[s]
+
+    ch = small_chan(9, fc=100.0, acq_range_hz=400.0, snr_min_db=20.0)
+    rx = BankedReceiver([ch], fs=small_cfg.fs)
+    acquired_at = None
+    for s in range(5):
+        seg = stream[s * fs : (s + 1) * fs + 2 * L]
+        rx.process_second({"A": seg})
+        if rx.states[0].is_trk and acquired_at is None:
+            acquired_at = s
+    # first attempt probes the jammed epoch and fails; a later attempt
+    # probes a clean epoch and locks
+    assert acquired_at is not None and 1 <= acquired_at <= 4, rx.log
+    assert any("acq failed" in ln for ln in rx.log), rx.log
+
+
 def test_output_row_format_and_files(small_cfg, two_prn_stream, tmp_path):
     """Per-second rows and rxcomplex.log match the reference's printf
     formats (rxcomplex.cpp:736-753, 760-790)."""
