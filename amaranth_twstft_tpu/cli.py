@@ -120,6 +120,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--param", required=True, help="sdr.param channel file")
     p.add_argument("--fs", type=float, default=5e6)
     p.add_argument("--seconds", type=int, default=0, help="0 = whole file")
+    p.add_argument("--host", action="store_true",
+                   help="force the host-sequential oracle Receiver "
+                        "(default: the device-banked receiver whenever "
+                        "channel geometry is homogeneous)")
+    p.add_argument("--out-dir", default=None,
+                   help="write per-channel .dat rows + rxcomplex.log here "
+                        "(rxcomplex.cpp:724,736-753)")
+    p.add_argument("--real", action="store_true",
+                   help="rx.cpp real-sample mode (non-IQ capture)")
+    p.add_argument("--group", type=int, default=8,
+                   help="banked lax.map group size")
+    # the reference derives code geometry from an internal PRN table
+    # keyed by the sdr.param row's id (rxcomplex.cpp:298-320); these
+    # flags play that table's role for non-default codes
+    p.add_argument("--bitlen", type=int, default=None,
+                   help="LFSR bits of every channel's code")
+    p.add_argument("--code-len", type=int, default=None,
+                   help="chips per code of every channel")
+    p.add_argument("--nlag", type=int, default=None)
+    p.add_argument("--taps-map", default=None,
+                   help="per-PRN taps, e.g. '100=9,101=27'")
 
     p = sub.add_parser("batch", help="process a capture directory")
     p.add_argument("datadir")
@@ -333,12 +354,57 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "dllpll":
+        import os
+
         from amaranth_twstft_tpu.models.dllpll import Receiver, parse_sdr_param
         from amaranth_twstft_tpu.utils import io
 
         with open(args.param) as f:
             chans = parse_sdr_param(f.read())
-        rx = Receiver(chans, fs=args.fs)
+        if args.bitlen or args.code_len or args.nlag or args.taps_map:
+            import dataclasses
+
+            taps_map = {}
+            if args.taps_map:
+                for kv in args.taps_map.split(","):
+                    k, v = kv.split("=")
+                    taps_map[int(k)] = int(v)
+            chans = [
+                dataclasses.replace(
+                    c,
+                    bit_len=args.bitlen or c.bit_len,
+                    code_len=args.code_len or c.code_len,
+                    nlag=args.nlag or c.nlag,
+                    taps=taps_map.get(c.prn_id, c.taps),
+                )
+                for c in chans
+            ]
+        # flagship path: the device-banked receiver (one jitted program
+        # per second for the whole bank) whenever the channel geometry is
+        # homogeneous; --host forces the sequential oracle
+        geoms = {
+            (int(round(args.fs / c.chip_rate)) * c.code_len,
+             c.codes_per_second, c.nlag)
+            for c in chans
+        }
+        use_bank = not args.host and len(geoms) == 1
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+        if use_bank:
+            from amaranth_twstft_tpu.models.tracker import BankedReceiver
+
+            rx = BankedReceiver(
+                chans, fs=args.fs, group=args.group,
+                real_input=args.real, out_dir=args.out_dir,
+            )
+        else:
+            if not args.host:
+                print(
+                    f"heterogeneous channel geometry {geoms}: using the "
+                    "host receiver",
+                    file=sys.stderr,
+                )
+            rx = Receiver(chans, fs=args.fs)
         fs = int(args.fs)
         total = io.n_samples_sc16(args.capture, channels=2)
         n_sec = total // fs - 1
@@ -349,7 +415,10 @@ def _dispatch(args) -> int:
                                        channels=2)
             if d.shape[1] == 0:
                 break
-            reports = rx.process_second({"A": d[0, 0], "B": d[1, 0]})
+            sec = {"A": d[0, 0], "B": d[1, 0]}
+            if args.real:
+                sec = {k: np.real(v) for k, v in sec.items()}
+            reports = rx.process_second(sec)
             for ch, rep in zip(rx.channels, reports):
                 if rep is not None:
                     print(
@@ -358,6 +427,21 @@ def _dispatch(args) -> int:
                         f"{rep.cnt:3d} {rep.gd_ns:14.6f} {rep.dg_ns_per_s:11.6f} "
                         f"{rep.sdgd_ns:8.4f} {rep.pk_dbm:7.3f} {rep.pnoise_dbm:7.3f}"
                     )
+                    if args.out_dir and not use_bank:
+                        # the banked receiver writes its own .dat rows
+                        from amaranth_twstft_tpu.models.dllpll import (
+                            dat_filename,
+                        )
+
+                        with open(
+                            os.path.join(args.out_dir, dat_filename(ch.cfg)),
+                            "a",
+                        ) as f:
+                            f.write(rep.row(ch.nobs / args.fs) + "\n")
+        if args.out_dir and not use_bank:
+            with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
+                for line in rx.log:
+                    f.write(line + "\n")
         for line in rx.log:
             print(line, file=sys.stderr)
         return 0
