@@ -49,6 +49,7 @@ from amaranth_twstft_tpu.ops.prn import (
 __all__ = [
     "ChannelConfig",
     "Channel",
+    "build_channels_batch",
     "TrackState",
     "Receiver",
     "SecondReport",
@@ -161,8 +162,22 @@ class Channel:
     nobs: int  # samples per code period
     wav: np.ndarray  # filtered replica, real f32 (nobs,)
     fcode: np.ndarray  # conj FFT of the replica (for acquisition CAF)
-    code_interp: np.ndarray
     psbb: float  # replica baseband power (rxcomplex.cpp:437-438)
+    chips: np.ndarray | None = None  # raw 0/1 chips (code_len,) int8
+    sps_per_chip: int = 1
+    _code_interp: np.ndarray | None = None
+
+    @property
+    def code_interp(self) -> np.ndarray:
+        """3x-interpolated unfiltered code, built on first use (only the
+        host acquisition path needs it; the 120-channel bank never
+        materializes 120 x 3 x nobs floats)."""
+        if self._code_interp is None:
+            code = chips_to_pm1(
+                upsample_zoh(self.chips, self.sps_per_chip), np.float64
+            )
+            self._code_interp = np.repeat(code, 3).astype(np.float32)
+        return self._code_interp
 
 
 def build_channel(cfg: ChannelConfig, fs: float) -> Channel:
@@ -177,15 +192,137 @@ def build_channel(cfg: ChannelConfig, fs: float) -> Channel:
     wav = np.real(np.fft.ifft(spec * mask))
     psbb = float(np.mean(wav**2))
     fcode = np.conj(np.fft.fft(wav))
-    code3 = np.repeat(code, 3)
     return Channel(
         cfg=cfg,
         nobs=nobs,
         wav=wav.astype(np.float32),
         fcode=fcode,
-        code_interp=code3.astype(np.float32),
         psbb=psbb,
+        chips=chips,
+        sps_per_chip=sps_per_chip,
     )
+
+
+def build_channels_batch(cfgs: list[ChannelConfig], fs: float) -> list[Channel]:
+    """Vectorized :func:`build_channel` for a whole receiver bank.
+
+    The reference builds its (up to) 120 channels serially at startup
+    (``rxcomplex.cpp:257-455``: per-channel ``SDRcode``/``PRN_sampling``/
+    low-pass); a Python loop over :func:`build_channel` costs ~20 s at
+    the production geometry.  Here channels are grouped by code geometry
+    and built with batched operations:
+
+    - one lockstep LFSR walk generates every unique code's chips
+      (:func:`amaranth_twstft_tpu.ops.lfsr.prn_chips_batch`),
+    - one batched FFT of all codes; per-channel low-pass masks applied
+      as one multiply; one batched IFFT for the filtered replicas,
+    - the replica spectrum needed by acquisition is the Hermitian part
+      of the masked spectrum (``fft(real(ifft(M))) == (M + conj(M[-k]))/2``
+      exactly), so no third transform is needed.
+
+    Single-precision FFTs via torch when available (~10x numpy's c64
+    path at mixed-radix lengths), numpy complex128 otherwise; the bank
+    consumes f32 anyway.  Results match :func:`build_channel` to f32
+    roundoff (tested).
+    """
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips_batch
+
+    out: list[Channel | None] = [None] * len(cfgs)
+    groups: dict[tuple, list[int]] = {}
+    for i, cfg in enumerate(cfgs):
+        sps = int(round(fs / cfg.chip_rate))
+        groups.setdefault((cfg.bit_len, cfg.code_len, sps), []).append(i)
+    for (bit_len, code_len, sps), idxs in groups.items():
+        taps_arr = np.array([cfgs[i].taps for i in idxs], dtype=np.uint64)
+        uniq, inv = np.unique(taps_arr, return_inverse=True)
+        chips_u = _chips_cached(bit_len, uniq, code_len)
+        # ZOH upsample by strided stores (repeat() copies twice)
+        nobs = code_len * sps
+        pm1 = chips_to_pm1(chips_u, np.float32)
+        codes_u = np.empty((len(uniq), nobs), np.float32)
+        for s in range(sps):
+            codes_u[:, s::sps] = pm1
+        spec_u = _batch_fft(codes_u.astype(np.complex64))
+        # group rows by filter cut-off: one 1-D float mask per unique
+        # filter (a (C, nobs) bool broadcast costs ~10x more)
+        by_filter: dict[float, list[int]] = {}
+        for row, i in enumerate(idxs):
+            by_filter.setdefault(cfgs[i].filter_hz, []).append(row)
+        M = spec_u[inv]  # one gather; masks applied in place per row
+        rev = (-np.arange(nobs)) % nobs
+        hermitian = True
+        for fhz, rows in by_filter.items():
+            mask32 = lowpass_spectrum_mask(
+                nobs, fs / nobs, fhz, -fhz
+            ).astype(np.float32)
+            for r in rows:
+                M[r] *= mask32
+            hermitian &= bool(
+                np.array_equal(mask32, mask32[rev])
+            )
+        wav = np.real(_batch_ifft(M))
+        if hermitian:
+            # symmetric mask keeps the spectrum Hermitian, so
+            # fft(real(ifft(M))) == M exactly — no transform needed
+            H = M
+        else:
+            Mr = np.conj(
+                np.concatenate([M[:, :1], M[:, :0:-1]], axis=1)
+            )
+            H = 0.5 * (M + Mr)
+        psbb = np.mean(np.square(wav, dtype=np.float32), axis=1, dtype=np.float64)
+        for row, i in enumerate(idxs):
+            out[i] = Channel(
+                cfg=cfgs[i],
+                nobs=nobs,
+                wav=wav[row].astype(np.float32),
+                fcode=np.conj(H[row]),
+                psbb=float(psbb[row]),
+                chips=chips_u[inv[row]],
+                sps_per_chip=sps,
+            )
+    return out  # type: ignore[return-value]
+
+
+_CHIPS_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _chips_cached(bit_len: int, uniq: np.ndarray, code_len: int) -> np.ndarray:
+    """Per-taps chip cache: a reload_params that touches one row of 120
+    must not re-walk every LFSR (the walk is the dominant build cost)."""
+    missing = [
+        int(t) for t in uniq if (bit_len, int(t), code_len) not in _CHIPS_CACHE
+    ]
+    if missing:
+        from amaranth_twstft_tpu.ops.lfsr import prn_chips_batch
+
+        fresh = prn_chips_batch(
+            bit_len, np.asarray(missing, np.uint64), code_len
+        )
+        for t, row in zip(missing, fresh):
+            _CHIPS_CACHE[(bit_len, t, code_len)] = row
+    return np.stack(
+        [_CHIPS_CACHE[(bit_len, int(t), code_len)] for t in uniq]
+    )
+
+
+def _batch_fft(z: np.ndarray) -> np.ndarray:
+    try:
+        import torch
+
+        return torch.fft.fft(torch.from_numpy(z), dim=-1).numpy()
+    except Exception:  # noqa: BLE001 — torch missing
+        return np.fft.fft(z.astype(np.complex128), axis=-1)
+
+
+def _batch_ifft(z: np.ndarray) -> np.ndarray:
+    try:
+        import torch
+
+        return torch.fft.ifft(torch.from_numpy(np.ascontiguousarray(z)),
+                              dim=-1).numpy()
+    except Exception:  # noqa: BLE001
+        return np.fft.ifft(z.astype(np.complex128), axis=-1)
 
 
 @dataclass

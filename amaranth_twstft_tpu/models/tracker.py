@@ -54,7 +54,7 @@ from amaranth_twstft_tpu.models.dllpll import (
     _param_matches,
     _phase_unwrap_scan,
     _v2_to_dbm,
-    build_channel,
+    build_channels_batch,
     dat_filename,
     log_line,
     parse_sdr_param,
@@ -541,7 +541,7 @@ class BankedReceiver:
         self.acq_chunk = acq_chunk
         self.log: list[str] = []
         self._acq_attempt = 0  # probe-epoch diversity counter
-        self._init_bank([build_channel(c, fs) for c in channels])
+        self._init_bank(build_channels_batch(channels, fs))
 
     # -- setup ----------------------------------------------------------
     def _init_bank(self, built: list[Channel]) -> None:
@@ -580,13 +580,14 @@ class BankedReceiver:
         known = {c.cfg.prn_id: c.cfg for c in self.channels}
         new_cfgs = parse_sdr_param(text)
         changed: list[int] = []
-        built: list[Channel] = []
+        plan: list[Channel | int] = []  # kept Channel | index into builds
         states: list[TrackState] = []
+        to_build: list[ChannelConfig] = []
         for i, cfg in enumerate(new_cfgs):
             if i < len(self.channels) and _param_matches(
                 self.channels[i].cfg, cfg
             ):
-                built.append(self.channels[i])
+                plan.append(self.channels[i])
                 states.append(self.states[i])
             else:
                 base = known.get(
@@ -594,9 +595,15 @@ class BankedReceiver:
                 )
                 if base is not None:
                     cfg = _merge_param_row(base, cfg)
-                built.append(build_channel(cfg, self.fs))
+                plan.append(len(to_build))
+                to_build.append(cfg)
                 states.append(TrackState(fc=cfg.fc_init_hz))
                 changed.append(i)
+        # only the CHANGED rows are rebuilt, in one batched pass
+        new_built = (
+            build_channels_batch(to_build, self.fs) if to_build else []
+        )
+        built = [new_built[p] if isinstance(p, int) else p for p in plan]
         changed.extend(range(len(new_cfgs), len(self.channels)))
         old_states = states
         self._init_bank(built)

@@ -32,6 +32,7 @@ import numpy as np
 __all__ = [
     "lfsr_next",
     "prn_chips",
+    "prn_chips_batch",
     "prn_chips_jax",
     "prn_states_np",
     "is_mseq",
@@ -74,6 +75,34 @@ def prn_chips(bit_len: int, taps: int, n: int, seed: int = 1) -> np.ndarray:
         return out
     reps = -(-n // period)
     return np.tile(out, reps)[:n]
+
+
+def prn_chips_batch(
+    bit_len: int, taps: np.ndarray, n: int, seed: int = 1
+) -> np.ndarray:
+    """First ``n`` chips for a BATCH of tap masks -> (len(taps), n) int8.
+
+    Lockstep-vectorized :func:`prn_chips` (same semantics per row): one
+    NumPy pass steps every LFSR together, so building a 120-channel
+    replica bank costs one walk instead of 120 Python loops
+    (``rxcomplex.cpp`` builds its 120 channels' codes serially at
+    startup; the TPU-era bank build is batched end to end).
+    """
+    taps = np.asarray(taps, dtype=np.uint64)
+    period = (1 << bit_len) - 1
+    m = min(n, period)
+    state = np.full(taps.shape, seed, dtype=np.uint64)
+    msb = np.uint64(1) << np.uint64(bit_len - 1)
+    one = np.uint64(1)
+    out = np.empty((len(taps), m), dtype=np.int8)
+    for i in range(m):
+        out[:, i] = (state & one).astype(np.int8)
+        bits = _parity64(state & taps)
+        state = (state >> one) | (bits * msb)
+    if n <= period:
+        return out
+    reps = -(-n // period)
+    return np.tile(out, (1, reps))[:, :n]
 
 
 # ----------------------------------------------------------------------

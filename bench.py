@@ -231,7 +231,10 @@ def bench_tracking(cfg) -> float:
     second (banked_track_step, one program for the whole bank)."""
     import jax.numpy as jnp
 
-    from amaranth_twstft_tpu.models.dllpll import ChannelConfig, build_channel
+    from amaranth_twstft_tpu.models.dllpll import (
+        ChannelConfig,
+        build_channels_batch,
+    )
     from amaranth_twstft_tpu.models.tracker import (
         banked_track_step,
         build_bank,
@@ -242,16 +245,17 @@ def bench_tracking(cfg) -> float:
     C = 120
     taps = find_mseq_taps(17, C)
     t0 = time.time()
-    chans = [
-        build_channel(
-            ChannelConfig(physical="A" if i % 2 == 0 else "B", prn_id=100 + i,
-                          taps=taps[i], nlag=28),
-            cfg.fs,
-        )
-        for i in range(C)
-    ]
+    chans = build_channels_batch(
+        [
+            ChannelConfig(physical="A" if i % 2 == 0 else "B",
+                          prn_id=100 + i, taps=taps[i], nlag=28)
+            for i in range(C)
+        ],
+        cfg.fs,
+    )
     bank = build_bank(chans, cfg.fs)
-    log(f"bank build ({C} ch, nobs={bank.nobs}): {time.time()-t0:.1f} s")
+    bank_build_s = time.time() - t0
+    log(f"bank build ({C} ch, nobs={bank.nobs}): {bank_build_s:.1f} s")
 
     rng = np.random.default_rng(1)
     S = int(cfg.fs) + bank.nobs

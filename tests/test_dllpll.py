@@ -155,3 +155,34 @@ def test_sic_recovers_weak_cochannel_prn(small_cfg):
     # without SIC the weak channel never produces a locked report
     rx_plain, weak_plain = run(False)
     assert weak_plain is None, (weak_plain, rx_plain.log)
+
+
+def test_build_channels_batch_matches_build_channel(small_cfg):
+    """The vectorized bank build reproduces build_channel per channel
+    (wav/fcode/psbb to f32 roundoff, chips exactly), including
+    heterogeneous filter cut-offs and shared taps."""
+    import numpy as np
+
+    from amaranth_twstft_tpu.models.dllpll import (
+        build_channel,
+        build_channels_batch,
+    )
+
+    fs = small_cfg.fs
+    import dataclasses
+
+    cfgs = [
+        small_chan(9),
+        small_chan(27),
+        # different mask, same code
+        dataclasses.replace(small_chan(9), filter_hz=2e4),
+    ]
+    batch = build_channels_batch(cfgs, fs)
+    for cfg, ch in zip(cfgs, batch):
+        ref = build_channel(cfg, fs)
+        assert ch.nobs == ref.nobs
+        np.testing.assert_allclose(ch.wav, ref.wav, atol=2e-5)
+        assert abs(ch.psbb - ref.psbb) < 1e-5
+        np.testing.assert_allclose(ch.fcode, ref.fcode, atol=2e-2)
+        assert np.array_equal(ch.chips, ref.chips)
+        assert np.array_equal(ch.code_interp, ref.code_interp)
