@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
         help="IO-overlapped pipeline (f16 ingest on accelerators, one "
              "fused dual-channel program per batch)",
     )
+    p.add_argument(
+        "--sharded", action="store_true",
+        help="multi-device pipeline: epoch axis sharded over all "
+             "visible devices (multi-host when jax.distributed is "
+             "initialized; process 0 writes the .mat)",
+    )
+    p.add_argument("--batch-epochs", type=int, default=None,
+                   help="epochs per device per batch")
 
     p = sub.add_parser("claudio", help="per-code aligned tracking chain")
     p.add_argument("capture")
@@ -237,7 +245,27 @@ def _dispatch(args) -> int:
     if args.cmd == "goranging":
         import jax.numpy as jnp
 
-        if args.fast:
+        if args.sharded:
+            from amaranth_twstft_tpu import pipeline
+            from amaranth_twstft_tpu.config import ProcessingConfig
+
+            kw = {}
+            if args.batch_epochs:
+                kw["batch_epochs"] = args.batch_epochs
+            out = pipeline.process_capture_sharded(
+                args.capture,
+                args.code,
+                _signal(args),
+                ProcessingConfig(hamming_window=True),
+                remote=args.remote,
+                foffset_hz=args.foffset,
+                ingest_dtype="float32" if args.f64 else None,
+                **kw,
+            )
+            if out is None:  # non-root process of a multi-host run
+                return 0
+            print(f"timing={out['timing']}", file=sys.stderr)
+        elif args.fast:
             from amaranth_twstft_tpu import pipeline
             from amaranth_twstft_tpu.config import ProcessingConfig
 

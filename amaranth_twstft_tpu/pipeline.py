@@ -29,6 +29,7 @@ __all__ = [
     "gzip_archives",
     "follow_capture",
     "process_capture_overlapped",
+    "process_capture_sharded",
 ]
 
 
@@ -121,6 +122,10 @@ def process_capture_overlapped(
     # --- prefetch thread: disk -> packed (C, n, L, 2) batches ----------
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
+    stats: dict = {"disk_s": 0.0, "convert_s": 0.0, "bytes_read": 0,
+                   "h2d_call_s": 0.0, "dispatch_call_s": 0.0,
+                   "fetch_s": 0.0, "bytes_shipped": 0, "n_batches": 0}
+
     def reader():
         start = 0
         while True:
@@ -129,7 +134,7 @@ def process_capture_overlapped(
                 # buffer; the device deinterleaves (boundary layer)
                 d, n = io.read_sc16_epochs_packed(
                     capture_path, start, batch_epochs, L, channels=2,
-                    dtype=in_dtype,
+                    dtype=in_dtype, timers=stats,
                 )
             else:
                 d, n = io.read_sc16_epochs_ri(
@@ -161,10 +166,12 @@ def process_capture_overlapped(
 
     def drain(entry):
         outs, n, b = entry  # b = padded batch rows per channel
-        # ONE d2h fetch per batch (the sync point), decoded on host
-        res = boundary.to_epoch_result(
-            boundary.unpack_outputs(np.asarray(outs))
-        )
+        # ONE d2h fetch per batch (the sync point — on the relayed TPU
+        # this wait also absorbs the program's execution time)
+        tf = time.perf_counter()
+        fetched = np.asarray(outs)
+        stats["fetch_s"] += time.perf_counter() - tf
+        res = boundary.to_epoch_result(boundary.unpack_outputs(fetched))
         for c in range(n_chan):
             sl = slice(c * b, c * b + n)
             sub = type(res)(
@@ -180,6 +187,7 @@ def process_capture_overlapped(
         if item is None:
             break
         d, n = item
+        stats["n_batches"] += 1
         if n_chan == 2:
             if n < batch_epochs:
                 # zero-pad the final partial batch to the full shape: a
@@ -190,15 +198,23 @@ def process_capture_overlapped(
                                      d.dtype)], axis=0,
                 )
             b = batch_epochs
+            th2 = time.perf_counter()
             iq = jnp.asarray(d)  # (B, L, 4): device deinterleaves
+            stats["h2d_call_s"] += time.perf_counter() - th2
+            stats["bytes_shipped"] += d.nbytes
             dfv = jnp.asarray(df_full)
         else:
             b = n
+            th2 = time.perf_counter()
             iq = jnp.asarray(d[:n_chan, :n].reshape(n_chan * n, L, 2))
+            stats["h2d_call_s"] += time.perf_counter() - th2
+            stats["bytes_shipped"] += n_chan * n * L * 2 * d.dtype.itemsize
             dfv = jnp.asarray(
                 np.repeat(np.asarray(dfs[:n_chan], np.float32), n)
             )
+        td = time.perf_counter()
         outs = step(iq, df_fixed=dfv)  # async dispatch
+        stats["dispatch_call_s"] += time.perf_counter() - td
         pending.append((outs, n, b))
         if len(pending) > 1:
             drain(pending.pop(0))
@@ -216,11 +232,262 @@ def process_capture_overlapped(
     out_mat = out_mat or default_mat_name(capture_path, remote)
     matio.save_c_style(out_mat, out["ch1"], out["ch2"])
     out["mat_path"] = out_mat
+    stats["loop_effective_mbps"] = (
+        stats["bytes_shipped"] / t_loop / 1e6 if t_loop > 0 else 0.0
+    )
     out["timing"] = {
         "df_prepass_s": t_df,
         "epoch_loop_s": t_loop,
         "mat_write_s": time.time() - t0,
         "total_s": time.time() - t_all,
+        **{k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in stats.items()},
+    }
+    return out
+
+
+def process_capture_sharded(
+    capture_path: str,
+    code_path: str,
+    signal: SignalConfig,
+    proc: ProcessingConfig | None = None,
+    mesh=None,
+    remote: bool = False,
+    foffset_hz: float = 0.0,
+    batch_epochs: int = 25,
+    out_mat: str | None = None,
+    prefetch: int = 2,
+    ingest_dtype: str | None = None,
+    axis: str | None = None,
+) -> dict | None:
+    """GoRanging end to end over a DEVICE MESH — the multi-chip pipeline.
+
+    Layout (SURVEY.md §2.6 composed with the epoch streaming of
+    ``processing/CPP/main.cpp:452-519``): GoRanging epochs are disjoint
+    and independent (fixed per-file df, no ``dold`` carry), so the
+    capture's epoch axis is pure data parallelism — each device runs the
+    complete per-epoch chain on its ``batch_epochs`` slice of every
+    global batch via ``shard_map``, with NO collectives inside the step;
+    the only cross-device traffic is the per-host ingest sharding in and
+    the tiny packed-outputs gather out.
+
+    Multi-host: every process reads ONLY its own slice of the capture
+    (its local devices' epochs; ``jax.make_array_from_process_local_data``
+    assembles the global batch without any host holding the whole
+    stream), and process 0 alone writes the ``.mat``.  This is the
+    jax.distributed replacement for the reference's scp/rsync record
+    shipping (``experiments/221219_twoway/README.md:4-10``).
+
+    Numerics are identical to :func:`process_capture_overlapped` at any
+    device count (asserted by ``tests/test_sharded.py``): the per-epoch
+    programs are the same; only the batch partitioning changes.
+
+    Returns the GoRanging output dict + ``timing`` on process 0, and
+    ``None`` on other processes.
+    """
+    import queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from amaranth_twstft_tpu.models.godual import ChannelArrays, build_replica
+    from amaranth_twstft_tpu.models.goranging import default_mat_name
+    from amaranth_twstft_tpu.ops import boundary
+    from amaranth_twstft_tpu.ops.doppler import (
+        bound_prepass_window,
+        per_file_df,
+        per_file_df_ri,
+    )
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+
+    proc = proc or ProcessingConfig(hamming_window=True)
+    t_all = time.time()
+    if mesh is None:
+        mesh = make_mesh(n_time=len(jax.devices()), n_channel=1)
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    is_root = pid == 0
+    B_glob = batch_epochs * n_dev  # epochs per global batch
+    if B_glob % n_proc:
+        raise ValueError(
+            f"global batch {B_glob} not divisible by {n_proc} processes"
+        )
+    B_proc = B_glob // n_proc  # epochs this process ingests per batch
+
+    rep = build_replica(code_path, signal, proc, conjugate=True)
+    L = rep.samples_per_code
+    n_chan = 1 if remote else 2
+
+    accel = boundary.on_accelerator()
+    if ingest_dtype is None:
+        ingest_dtype = "float16" if accel else "float32"
+    in_dtype = np.dtype(ingest_dtype)
+
+    # --- df pre-pass: decimated whole-file squaring FFT (replicated;
+    # every process reads the strided view of its OWN capture copy, or
+    # of the shared file — the decimated array is tiny) ----------------
+    t0 = time.time()
+    dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
+    dec = bound_prepass_window(dec)
+
+    def _pfd(x, windowed):
+        if accel:
+            return per_file_df_ri(
+                jnp.asarray(boundary.pack_complex(x, dtype=in_dtype)),
+                signal.fs,
+                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
+            )
+        return per_file_df(
+            jnp.asarray(x), signal.fs, proc.df_decimation,
+            foffset_hz=foffset_hz, windowed=windowed,
+        )
+
+    dfs = [float(_pfd(dec[0], True))]
+    if n_chan == 2:
+        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
+    t_df = time.time() - t0
+
+    # --- the sharded per-batch program --------------------------------
+    step_local = boundary.make_ranging_step(
+        np.asarray(rep.fcode), np.asarray(rep.code_interp),
+        np.ones(L, bool), signal.fs, nint=proc.nint, packed=True,
+    )
+    # per-device df vector (same on every shard); the program always
+    # computes both interleaved channels — in remote mode channel 2 is
+    # dropped on the host, its df slot is a harmless duplicate
+    df_pair = (dfs + dfs[:1])[:2]
+    df_local = np.repeat(np.asarray(df_pair, np.float32), batch_epochs)
+
+    def local_fn(iq_l, dfv_l):
+        # iq_l: (batch_epochs, L, 2*n_chan) on EACH device
+        return step_local(iq_l, df_fixed=dfv_l)
+
+    sharded_step = jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ))
+    in_sharding = NamedSharding(mesh, P(axis, None, None))
+    dfv = jnp.asarray(df_local)
+
+    total_avail = io.n_samples_sc16(capture_path, channels=2) // L
+
+    stats: dict = {"disk_s": 0.0, "convert_s": 0.0, "bytes_read": 0}
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def reader():
+        start_epoch = 0
+        while start_epoch < total_avail:
+            n_glob = min(B_glob, total_avail - start_epoch)
+            # this process's contiguous slice of the global batch
+            lo = start_epoch + min(pid * B_proc, n_glob)
+            hi = start_epoch + min((pid + 1) * B_proc, n_glob)
+            d, n_loc = io.read_sc16_epochs_packed(
+                capture_path, lo * L, hi - lo, L, channels=2,
+                dtype=in_dtype, timers=stats,
+            ) if hi > lo else (
+                np.zeros((0, L, 4), in_dtype), 0
+            )
+            if n_loc < B_proc:
+                # zero-pad to the full local shape (fresh shapes would
+                # recompile); padded rows are dropped on the host
+                d = np.concatenate(
+                    [d[:n_loc],
+                     np.zeros((B_proc - n_loc,) + (L, 2 * 2), in_dtype)],
+                    axis=0,
+                )
+            q.put((d, n_glob))
+            start_epoch += n_glob
+        q.put(None)
+
+    th = threading.Thread(target=reader, daemon=True)
+    t0 = time.time()
+    th.start()
+
+    chans = [ChannelArrays() for _ in range(n_chan)]
+    pending: list[tuple] = []
+
+    def fetch_global(outs) -> np.ndarray:
+        if n_proc == 1:
+            return np.asarray(outs)
+        # fetch this process's addressable shards in global row order,
+        # then allgather across processes (process order == global
+        # device order for the standard mesh layout)
+        from jax.experimental import multihost_utils
+
+        shards = sorted(
+            outs.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        g = multihost_utils.process_allgather(local)
+        return np.asarray(g).reshape(-1, local.shape[-1])
+
+    def drain(entry):
+        outs, n_glob = entry
+        a = fetch_global(outs)  # (n_dev*2*batch_epochs, 14)
+        # device blocks are [ch1 rows (B), ch2 rows (B)] each; reorder
+        # to channel-major global epoch order, then trim padding and
+        # (in remote mode) the unused second channel
+        a = a.reshape(n_dev, 2, batch_epochs, a.shape[-1])
+        a = a.transpose(1, 0, 2, 3).reshape(
+            2, n_dev * batch_epochs, a.shape[-1]
+        )[:n_chan, :n_glob]
+        res = boundary.to_epoch_result(boundary.unpack_outputs(a))
+        for c in range(n_chan):
+            sub = type(res)(
+                **{
+                    f: getattr(res, f)[c]
+                    for f in res.__dataclass_fields__
+                }
+            )
+            chans[c].extend(sub, np.full((n_glob,), dfs[c]))
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        d, n_glob = item
+        if n_proc == 1:
+            iq = jax.device_put(d, in_sharding)
+        else:
+            iq = jax.make_array_from_process_local_data(in_sharding, d)
+        outs = sharded_step(iq, dfv)
+        pending.append((outs, n_glob))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
+    th.join()
+    t_loop = time.time() - t0
+
+    if not is_root:
+        return None
+    out = {
+        "ch1": chans[0].asdict(),
+        "ch2": chans[1].asdict() if n_chan == 2 else None,
+        "df": dfs,
+    }
+    t0 = time.time()
+    out_mat = out_mat or default_mat_name(capture_path, remote)
+    matio.save_c_style(out_mat, out["ch1"], out["ch2"])
+    out["mat_path"] = out_mat
+    out["timing"] = {
+        "df_prepass_s": t_df,
+        "epoch_loop_s": t_loop,
+        "mat_write_s": time.time() - t0,
+        "total_s": time.time() - t_all,
+        "n_devices": n_dev,
+        "n_processes": n_proc,
+        **{k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in stats.items()},
     }
     return out
 

@@ -127,9 +127,11 @@ def _fast_convert(raw: np.ndarray, dtype) -> np.ndarray:
     try:
         import torch
 
-        # np.array: torch.from_numpy requires a writable buffer and the
-        # source is usually a read-only memmap view
-        return torch.from_numpy(np.array(raw)).to(
+        if not raw.flags.writeable:
+            # torch.from_numpy requires a writable buffer (read-only
+            # memmap views must be materialized first)
+            raw = np.array(raw)
+        return torch.from_numpy(raw).to(
             {np.dtype(np.float16): torch.float16,
              np.dtype(np.float32): torch.float32}[np.dtype(dtype)]
         ).numpy()
@@ -144,6 +146,7 @@ def read_sc16_epochs_packed(
     samples_per_epoch: int,
     channels: int = 2,
     dtype=np.float16,
+    timers: dict | None = None,
 ):
     """Minimum-host-work epoch reader: (n, L, 2*channels) float.
 
@@ -152,17 +155,31 @@ def read_sc16_epochs_packed(
     conversion and zero strided copies; the device program deinterleaves
     (``ops/boundary._ranging_impl`` handles the last-dim-4 layout).  Both
     channels ship in a single transfer.
+
+    ``timers``: optional dict accumulating the per-stage attribution the
+    pipelines report — ``disk_s`` (memmap page-in + copy), ``convert_s``
+    (int16 -> float), ``bytes_read``.
     """
+    import time as _time
+
     mm = open_sc16(path, channels)
     total = mm.shape[0]
     n_avail = max(0, (total - start_sample) // samples_per_epoch)
     n = min(n_epochs, n_avail)
     if n == 0:
         return np.zeros((0, samples_per_epoch, 2 * channels), dtype), 0
-    raw = mm[start_sample : start_sample + n * samples_per_epoch]
+    t0 = _time.perf_counter()
+    raw = np.array(mm[start_sample : start_sample + n * samples_per_epoch])
+    t1 = _time.perf_counter()
     out = _fast_convert(raw, dtype).reshape(
         n, samples_per_epoch, 2 * channels
     )
+    if timers is not None:
+        timers["disk_s"] = timers.get("disk_s", 0.0) + (t1 - t0)
+        timers["convert_s"] = (
+            timers.get("convert_s", 0.0) + (_time.perf_counter() - t1)
+        )
+        timers["bytes_read"] = timers.get("bytes_read", 0) + raw.nbytes
     return out, n
 
 

@@ -245,3 +245,32 @@ def test_cli_dllpll_banked(small_cfg, tmp_path, capsys):
     assert dat.exists(), list(out_dir.iterdir())
     assert (out_dir / "rxcomplex.log").exists()
     assert "acquisition" in (out_dir / "rxcomplex.log").read_text()
+
+
+def test_cli_goranging_sharded(small_cfg, tmp_path, capsys):
+    """twstft-tpu goranging --sharded routes through the multi-device
+    pipeline (epoch axis over all visible devices)."""
+    from amaranth_twstft_tpu.utils import matio
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=7,
+    )
+    cap = str(tmp_path / "1755400098.bin")
+    io.write_sc16(cap, meas, ref)
+    rc = cli.main([
+        "goranging", cap, code, "--sharded", "--batch-epochs", "10",
+        "--fs", str(small_cfg.fs), "--chip-rate", str(small_cfg.chip_rate),
+        "--code-len", str(small_cfg.code_len),
+        "--bitlen", str(small_cfg.bit_len), "--taps", str(small_cfg.taps),
+    ])
+    assert rc == 0
+    mat_path = capsys.readouterr().out.strip()
+    assert os.path.exists(mat_path)
+    loaded = matio.load_result(mat_path)
+    d1 = float(np.median(loaded["solution1"])) / 3.0
+    assert abs(d1 - 431.4) < 0.1

@@ -176,3 +176,97 @@ def test_sharded_lagbank_matches_unsharded():
         pw1, ph1 = lag_bank_correlate(jnp.asarray(obs[c]), jnp.asarray(wav[c]))
         np.testing.assert_allclose(pw[c], np.asarray(pw1), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(ph[c], np.asarray(ph1), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_pipeline_matches_single_device(small_cfg, tmp_path):
+    """process_capture_sharded on a 1-device and an 8-device mesh produce
+    equivalent results (and both match process_capture_overlapped).
+
+    Byte-identity is NOT attainable on the virtual CPU mesh: the 8
+    virtual devices split the host's intra-op thread pool, so XLA tiles
+    reductions differently per device count and float summation order
+    changes (max observed rel. diff ~1e-7).  On real TPU chips each
+    core's schedule is device-count independent.  The assertion is
+    therefore tight-tolerance equivalence plus exact delay-index
+    agreement.
+    """
+    import os
+
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.utils import io as uio
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=4, seed=7,
+    )
+    cap = str(tmp_path / "cap.bin")
+    uio.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True)
+
+    single = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=25,
+        out_mat=str(tmp_path / "single.mat"),
+    )
+    out8 = pipeline.process_capture_sharded(
+        cap, code, small_cfg, proc, mesh=make_mesh(8, 1), batch_epochs=25,
+        out_mat=str(tmp_path / "s8.mat"),
+    )
+    assert out8["timing"]["n_devices"] == 8
+    assert os.path.exists(out8["mat_path"])
+    # same df pre-pass, bit-exact
+    np.testing.assert_array_equal(single["df"], out8["df"])
+    for c in ("ch1", "ch2"):
+        # the integer delay index and its sub-sample correction agree
+        np.testing.assert_array_equal(
+            single[c]["indice"], out8[c]["indice"]
+        )
+        np.testing.assert_allclose(
+            single[c]["correction"], out8[c]["correction"], atol=2e-5
+        )
+        for k in ("snr_r", "snr_i", "puissance", "puissance_code",
+                  "puissance_noise"):
+            np.testing.assert_allclose(
+                single[c][k], out8[c][k], rtol=1e-4, atol=1e-6
+            )
+    # ground truth recovered through the mesh
+    d1 = float(np.median(out8["ch1"]["indice"] + out8["ch1"]["correction"])) / 3.0
+    d2 = float(np.median(out8["ch2"]["indice"] + out8["ch2"]["correction"])) / 3.0
+    assert abs(d1 - 431.4) < 0.1 and abs(d2 - 12.75) < 0.1, (d1, d2)
+
+
+def test_sharded_pipeline_remote_mode(small_cfg, tmp_path):
+    """remote=True processes only the measurement channel (GoRanging's
+    single-channel mode, processing/CPP/main.cpp:201-208)."""
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.utils import io as uio
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(250.0, 60.0, amplitude=900, noise_sigma=200),
+         ChannelSim(12.0, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=9,
+    )
+    cap = str(tmp_path / "cap.bin")
+    uio.write_sc16(cap, meas, ref)
+    out = pipeline.process_capture_sharded(
+        cap, code, small_cfg, ProcessingConfig(hamming_window=True),
+        mesh=make_mesh(4, 1), remote=True, batch_epochs=10,
+        out_mat=str(tmp_path / "rem.mat"),
+    )
+    assert out["ch2"] is None
+    d = float(np.median(out["ch1"]["indice"] + out["ch1"]["correction"])) / 3.0
+    assert abs(d - 250.0) < 0.1, d
