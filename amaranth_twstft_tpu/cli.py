@@ -196,6 +196,15 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args) -> int:
+    # operators run these commands from cron every 2 hours
+    # (acquisition/crontab:3); without the persistent compile cache every
+    # process pays the multi-minute relay cold compile
+    try:
+        from amaranth_twstft_tpu.utils.platform import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:  # noqa: BLE001 — cache dir not writable
+        pass
     if getattr(args, "f64", False):
         import jax
 

@@ -21,6 +21,34 @@ from typing import Callable
 from amaranth_twstft_tpu.config import ProcessingConfig, SignalConfig, StationConfig
 from amaranth_twstft_tpu.utils import io, matio
 
+#: Measured p99 |delay error| of the float16-ingest fast path vs the
+#: float64 oracle at the -13 dB operating point over 1024 epochs
+#: (``studies.f16_ingest_error_study``; table in PARITY.md deviation 10:
+#: p50 0.18 ps, p99 0.69 ps, max 0.97 ps — the f32 device arithmetic
+#: adds nothing measurable on top of the f16 quantization).  The 0.1 ns
+#: north-star parity budget is met by the f16 fast path with ~100x
+#: margin; a requested ``parity_ns`` below 3x this floor still forces
+#: float32 ingest as the belt-and-braces escape hatch.
+F16_PARITY_P99_NS = 0.0007
+
+
+def _resolve_ingest_dtype(
+    ingest_dtype: str | None, parity_ns: float | None, accel: bool
+) -> str:
+    """Pick the ingest dtype from an explicit request or a parity budget.
+
+    ``parity_ns`` is the caller's acceptable |delay error| vs the float64
+    oracle: budgets within 3x the measured f16 p99 floor get float32
+    ingest (the 0.1 ns north-star parity requires it); otherwise
+    accelerators ship float16 (the tunnel moves it at ~4x the f32 byte
+    rate) and CPU runs float32.
+    """
+    if ingest_dtype is not None:
+        return ingest_dtype
+    if parity_ns is not None and parity_ns < 3.0 * F16_PARITY_P99_NS:
+        return "float32"
+    return "float16" if accel else "float32"
+
 __all__ = [
     "next_sampling_window",
     "next_processing_time",
@@ -44,6 +72,7 @@ def process_capture_overlapped(
     out_mat: str | None = None,
     prefetch: int = 2,
     ingest_dtype: str | None = None,
+    parity_ns: float | None = None,
 ) -> dict:
     """GoRanging semantics, end to end, with host IO overlapped with
     device compute.
@@ -92,10 +121,9 @@ def process_capture_overlapped(
     accel = boundary.on_accelerator()
     # resolve the ingest dtype BEFORE the df pre-pass so
     # ingest_dtype="float32" restores full precision end to end (the
-    # per-file df biases every epoch's correction)
-    if ingest_dtype is None:
-        ingest_dtype = "float16" if accel else "float32"
-    in_dtype = np.dtype(ingest_dtype)
+    # per-file df biases every epoch's correction); parity_ns is the
+    # caller's delay-parity budget (see _resolve_ingest_dtype)
+    in_dtype = np.dtype(_resolve_ingest_dtype(ingest_dtype, parity_ns, accel))
 
     # --- df pre-pass (decimate-by-N whole-file squaring FFT) ----------
     t0 = time.time()
@@ -258,6 +286,7 @@ def process_capture_sharded(
     out_mat: str | None = None,
     prefetch: int = 2,
     ingest_dtype: str | None = None,
+    parity_ns: float | None = None,
     axis: str | None = None,
 ) -> dict | None:
     """GoRanging end to end over a DEVICE MESH — the multi-chip pipeline.
@@ -325,9 +354,7 @@ def process_capture_sharded(
     n_chan = 1 if remote else 2
 
     accel = boundary.on_accelerator()
-    if ingest_dtype is None:
-        ingest_dtype = "float16" if accel else "float32"
-    in_dtype = np.dtype(ingest_dtype)
+    in_dtype = np.dtype(_resolve_ingest_dtype(ingest_dtype, parity_ns, accel))
 
     # --- df pre-pass: decimated whole-file squaring FFT (replicated;
     # every process reads the strided view of its OWN capture copy, or

@@ -424,3 +424,124 @@ def slip_repair_study(
         "std_repaired": smoothed_std(repaired),
         "n_flagged": int(flagged.sum()),
     }
+
+
+def f16_ingest_error_study(
+    n_epochs: int = 1024,
+    snr_db: float = -13.0,
+    fs: float = 5e6,
+    code_len: int = 100_000,
+    bit_len: int = 17,
+    taps: int = 9,
+    doppler_hz: float = 130.0,
+    nint: int = 1,
+    seed: int = 0,
+    chunk: int = 32,
+) -> dict:
+    """Delay-error distribution of the fast-ingest path vs the float64
+    oracle at the production operating point (VERDICT r02 item 3).
+
+    The accelerator pipeline ships sc16 samples as float16 (exact below
+    2048, <=2^-11 relative above) and computes in float32 on device.
+    This study isolates both effects on the DELAY estimate over
+    ``n_epochs`` independent noise draws at the ~-13 dB RF operating
+    point (``experiments/221127_SNR/simu_snr.m:1-7``):
+
+    - ``quant``: float64 chain on f16-quantized inputs vs float64 chain
+      on exact int16 inputs — pure ingest-format quantization,
+    - ``f32``: float32 chain (the device's arithmetic) on f16 inputs vs
+      the float64/exact oracle — the end-to-end fast path.
+
+    Chain = GoRanging per-epoch semantics with a fixed known df (mix ->
+    FFT -> x conj(code spectrum) -> (2*nint+1)x zero-pad IFFT -> argmax +
+    parabolic correction).  Returns percentile tables in ns.
+    """
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import chips_to_pm1, upsample_zoh
+
+    try:
+        import torch
+
+        def _fft(x):
+            return torch.fft.fft(torch.from_numpy(x), dim=-1).numpy()
+
+        def _ifft(x):
+            return torch.fft.ifft(torch.from_numpy(x), dim=-1).numpy()
+    except Exception:  # noqa: BLE001
+
+        def _fft(x):
+            return np.fft.fft(x, axis=-1)
+
+        def _ifft(x):
+            return np.fft.ifft(x, axis=-1)
+
+    chips = prn_chips(bit_len, taps, code_len)
+    code = chips_to_pm1(upsample_zoh(chips, 2), np.float64)
+    L = len(code)
+    fcode64 = np.conj(np.fft.fft(code))
+    fcode32 = fcode64.astype(np.complex64)
+    zoom = 2 * nint + 1
+    half = L // 2
+    rng = np.random.default_rng(seed)
+    # -13 dB: amplitude a over noise sigma with a^2/(2 sigma^2) = 10^-1.3
+    sigma = 3000.0
+    amp = sigma * np.sqrt(2.0 * 10.0 ** (snr_db / 10.0))
+    t = np.arange(L) / fs
+    lo = np.exp(2j * np.pi * doppler_hz * t)
+    mix = np.exp(-2j * np.pi * doppler_hz * t)
+    true_delay = 1234
+
+    def _zoom_ifft(prod):
+        z = np.zeros(prod.shape[:-1] + (zoom * L,), prod.dtype)
+        z[..., :half] = prod[..., :half]
+        z[..., -(L - half):] = prod[..., half:]
+        return _ifft(z)
+
+    def _delays(prnmap):
+        a = np.abs(prnmap)
+        idx = np.argmax(a, axis=-1)
+        am1 = np.take_along_axis(a, (idx - 1)[:, None], -1)[:, 0]
+        a0 = np.take_along_axis(a, idx[:, None], -1)[:, 0]
+        ap1 = np.take_along_axis(a, ((idx + 1) % (zoom * L))[:, None], -1)[:, 0]
+        corr = (am1 - ap1) / (am1 + ap1 - 2 * a0) / 2.0
+        return (idx + corr) / zoom  # samples on the fs grid
+
+    deltas_q = []
+    deltas_f32 = []
+    sig = amp * np.roll(code, true_delay) * lo
+    for c0 in range(0, n_epochs, chunk):
+        b = min(chunk, n_epochs - c0)
+        noise = rng.normal(0, sigma, (b, 2, L))
+        d_int = np.round(
+            np.clip(sig.real + noise[:, 0], -32768, 32767)
+        ) + 1j * np.round(np.clip(sig.imag + noise[:, 1], -32768, 32767))
+        # exact ingest (float64 carries int16 exactly)
+        d64 = d_int.astype(np.complex128)
+        # f16 ingest: quantize re/im separately like the packed reader
+        d16 = (
+            d_int.real.astype(np.float16).astype(np.float64)
+            + 1j * d_int.imag.astype(np.float16).astype(np.float64)
+        )
+        d64 -= d64.mean(axis=-1, keepdims=True)
+        d16 -= d16.mean(axis=-1, keepdims=True)
+        ref = _delays(_zoom_ifft(_fft(d64 * mix) * fcode64))
+        qnt = _delays(_zoom_ifft(_fft(d16 * mix) * fcode64))
+        f32in = (d16 * mix).astype(np.complex64)
+        f32 = _delays(
+            _zoom_ifft(_fft(f32in) * fcode32).astype(np.complex64)
+        )
+        deltas_q.append(qnt - ref)
+        deltas_f32.append(f32 - ref)
+
+    def _stats(d):
+        d_ns = np.abs(np.concatenate(d)) / fs * 1e9
+        return {
+            "p50_ns": float(np.percentile(d_ns, 50)),
+            "p90_ns": float(np.percentile(d_ns, 90)),
+            "p99_ns": float(np.percentile(d_ns, 99)),
+            "max_ns": float(d_ns.max()),
+            "n": int(d_ns.size),
+        }
+
+    return {"quant": _stats(deltas_q), "f32": _stats(deltas_f32),
+            "snr_db": snr_db, "amp": amp, "sigma": sigma}

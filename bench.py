@@ -107,6 +107,13 @@ def synthesize_capture_file(path: str, cfg, n_seconds: int) -> None:
             f.write(np.roll(blocks[s % 4], k * L, axis=0).tobytes())
 
 
+def _stage_summary(t: dict) -> str:
+    keys = ("df_prepass_s", "epoch_loop_s", "disk_s", "convert_s",
+            "h2d_call_s", "dispatch_call_s", "fetch_s",
+            "loop_effective_mbps", "n_batches")
+    return " ".join(f"{k}={t[k]}" for k in keys if k in t)
+
+
 def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     from amaranth_twstft_tpu import pipeline
     from amaranth_twstft_tpu.config import ProcessingConfig
@@ -121,20 +128,28 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
         f"({os.path.getsize(cap)/1e9:.2f} GB) in {time.time()-t0:.1f} s")
 
     proc = ProcessingConfig(hamming_window=True)
-    kw = dict(batch_epochs=50, out_mat=os.path.join(scratch, "bench_out.mat"))
+    batch_epochs = int(os.environ.get("TWSTFT_BENCH_BATCH_EPOCHS", "125"))
+    kw = dict(batch_epochs=batch_epochs,
+              out_mat=os.path.join(scratch, "bench_out.mat"))
     t0 = time.time()
     out = pipeline.process_capture_overlapped(cap, code, cfg, proc, **kw)
     cold = time.time() - t0
-    log(f"end-to-end cold (incl. compiles): {cold:.1f} s  {out['timing']}")
-    # Best of two warm runs: the tunnel's throughput swings ~100x over
-    # minutes (shared link); two samples cut the weather lottery.
-    warm_runs = []
-    for r in range(2):
+    log(f"end-to-end cold (incl. compiles): {cold:.1f} s  "
+        f"{_stage_summary(out['timing'])}")
+    # Median of >=3 warm runs with the link rate measured per run: the
+    # tunnel's throughput swings ~100x over minutes (shared link), so a
+    # best-of headline would be substantially luck; the per-run
+    # loop_effective_mbps contextualizes each sample.
+    n_reps = int(os.environ.get("TWSTFT_BENCH_REPS", "3"))
+    warm_runs, run_stats = [], []
+    for r in range(n_reps):
         t0 = time.time()
         out = pipeline.process_capture_overlapped(cap, code, cfg, proc, **kw)
         warm_runs.append(time.time() - t0)
-        log(f"end-to-end warm[{r}]: {warm_runs[-1]:.1f} s  {out['timing']}")
-    warm = min(warm_runs)
+        run_stats.append(out["timing"])
+        log(f"end-to-end warm[{r}]: {warm_runs[-1]:.1f} s  "
+            f"{_stage_summary(out['timing'])}")
+    warm = float(np.median(warm_runs))
 
     # correctness spot check: the injected 1234/56-sample delays
     d1 = float(
@@ -147,14 +162,31 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
         f"df {out['df']}")
     assert abs(d1 - 1234) < 1.0 and abs(d2 - 56) < 1.0, (d1, d2)
 
+    # the float32-ingest path (explicit 0.1 ns-escape-hatch mode),
+    # benched end to end alongside the f16 default (VERDICT r02 item 3)
+    t0 = time.time()
+    out32 = pipeline.process_capture_overlapped(
+        cap, code, cfg, proc, ingest_dtype="float32", **kw
+    )
+    f32_s = time.time() - t0
+    log(f"end-to-end f32-ingest: {f32_s:.1f} s  "
+        f"{_stage_summary(out32['timing'])}")
+
     samples = n_seconds * cfg.fs * 2  # IQ samples, both channels
+    med = run_stats[int(np.argsort(warm_runs)[len(warm_runs) // 2])]
     os.remove(cap)
     return {
         "e2e_msps": samples / warm / 1e6,
+        "e2e_msps_f32": samples / f32_s / 1e6,
         "e2e_cold_s": cold,
         "e2e_warm_s": warm,
         "e2e_warm_runs_s": [round(w, 2) for w in warm_runs],
+        "e2e_run_link_mbps": [
+            t.get("loop_effective_mbps", 0.0) for t in run_stats
+        ],
         "capture_hour_s_1chip": 3600.0 / n_seconds * warm,
+        "median_stats": med,
+        "batch_epochs": batch_epochs,
     }
 
 
@@ -293,11 +325,186 @@ def bench_tracking(cfg) -> float:
         outs = second(all_bufs[r])
         _ = np.asarray(outs[0])
         times.append(time.time() - t0)
-    per_second = min(times)  # best-of: see the warm-run weather note
-    log(f"tracking: {C} channels x 1 s in {per_second:.3f} s best of "
+    per_second = float(np.median(times))
+    log(f"tracking: {C} channels x 1 s in {per_second:.3f} s median of "
         f"{[round(t, 2) for t in times]} ({C/per_second:.0f} "
         f"channel-seconds/s)")
-    return C / per_second
+    return {"ch_seconds_per_s": C / per_second,
+            "bank_build_s": bank_build_s,
+            "track_runs_s": [round(t, 3) for t in times]}
+
+
+def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
+    """North-star rehearsal: a dual-STATION capture pair through both
+    sites' chains + the go_1s session solve, reporting wall-clock and
+    the recovered clock-offset error (the full product the north star
+    describes, ``acquisition/go_1s.m:192``; VERDICT r02 item 10).
+
+    Each site's dual-channel sc16 capture embeds a known clock offset
+    ``x`` via fractional code delays (op_re-op_lo = path + x,
+    lt_re-lt_lo = path - x  =>  res = x); both captures run the fast
+    overlapped pipeline, outputs are written as claudio-style archives
+    and solved by ``go1s.process_sessions``.
+    """
+    import gzip
+    import shutil
+
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models import go1s
+    from amaranth_twstft_tpu.models.twoway import GatingPolicy
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips, write_prn_file
+    from amaranth_twstft_tpu.ops.prn import chips_to_pm1, upsample_zoh
+    from amaranth_twstft_tpu.utils import matio
+
+    code_path = os.path.join(scratch, "bench_code.bin")
+    if not os.path.exists(code_path):
+        write_prn_file(code_path, cfg.bit_len, cfg.code_len, cfg.taps)
+    chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len)
+    code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip), np.float64)
+    L = cfg.samples_per_code
+    n_sec = int(cfg.fs)
+    x_ns = 37.5  # injected clock offset (0.1875 samples at 5 MS/s)
+    path_ns = 5000.0
+    fs_ns = 1e9 / cfg.fs
+
+    def frac_roll(c, delay_samples):
+        k = np.fft.fftfreq(L)
+        return np.fft.ifft(
+            np.fft.fft(c) * np.exp(-2j * np.pi * k * delay_samples)
+        )
+
+    # site -> (lo_delay_ns, re_delay_ns)
+    sites = {
+        "OP": (20000.0, 20000.0 + path_ns + x_ns),
+        "LTFB": (16000.0, 16000.0 + path_ns - x_ns),
+    }
+    rng = np.random.default_rng(21)
+    t = np.arange(n_sec, dtype=np.float64) / cfg.fs
+    caps = {}
+    t0 = time.time()
+    for site, (lo_ns, re_ns) in sites.items():
+        frame_sec = np.empty((n_sec, 4), dtype=np.int16)
+        for col, (d_ns, dop) in ((0, (re_ns, 90.0)), (2, (lo_ns, 4.0))):
+            c = frac_roll(code, d_ns / fs_ns)
+            z = 900.0 * np.tile(c, n_sec // L) * np.exp(2j * np.pi * dop * t)
+            frame_sec[:, col] = np.clip(
+                z.real + rng.normal(0, 300, n_sec), -32768, 32767
+            ).astype(np.int16)
+            frame_sec[:, col + 1] = np.clip(
+                z.imag + rng.normal(0, 300, n_sec), -32768, 32767
+            ).astype(np.int16)
+        cap = os.path.join(scratch, f"bench_tw_{site}.bin")
+        with open(cap, "wb") as f:
+            for s in range(n_seconds):
+                f.write(np.roll(frame_sec, (s % 25) * L, axis=0).tobytes())
+        caps[site] = cap
+    synth_s = time.time() - t0
+
+    # both sites' chains (ch1 = remote/measurement, ch2 = loopback)
+    t0 = time.time()
+    outs = {}
+    proc = ProcessingConfig(hamming_window=True)
+    for site, cap in caps.items():
+        outs[site] = pipeline.process_capture_overlapped(
+            cap, code_path, cfg, proc, batch_epochs=50,
+            out_mat=os.path.join(scratch, f"tw_{site}.mat"),
+        )
+        os.remove(cap)
+    chains_s = time.time() - t0
+
+    # claudio-style archives + go1s session solve
+    ts = {"OP": 1755400003, "LTFB": 1755400007}
+    op_dir = os.path.join(scratch, "tw_OP")
+    lt_dir = os.path.join(scratch, "tw_LTFB")
+    for d in (op_dir, lt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    t0 = time.time()
+    for site, ddir in (("OP", op_dir), ("LTFB", lt_dir)):
+        o = outs[site]
+        for chkey, name in (("ch2", f"localclaudio{ts[site]}_2.mat"),
+                            ("ch1", f"remoteclaudio{ts[site]}_1.mat")):
+            ch = o[chkey]
+            raw = os.path.join(ddir, name)
+            # goranging indexes on the 3x-interpolated grid; claudio
+            # archives keep indice on the fs grid with the remainder
+            # folded into the correction (delay identity preserved)
+            ind3 = np.asarray(ch["indice"])
+            cor3 = np.asarray(ch["correction"])
+            matio.save_claudio_style(
+                raw,
+                dict(indice=ind3 // 3, correction=(ind3 % 3) + cor3,
+                     snr_r=ch["snr_r"], snr_i=ch["snr_i"],
+                     df=np.full(len(ind3), o["df"][0]),
+                     puissance=ch["puissance"], xval=ch["xval"]),
+            )
+            with open(raw, "rb") as f:
+                data = f.read()
+            with gzip.open(raw + ".gz", "wb") as f:
+                f.write(data)
+            os.remove(raw)
+    res = go1s.process_sessions(
+        op_dir, lt_dir, scratch, fs=cfg.fs,
+        policy=GatingPolicy(codes_per_second=25), write_summary=False,
+    )
+    solve_s = time.time() - t0
+    assert len(res) == 1, res
+    err_ps = abs(res[0]["res_mean_ns"] - x_ns) * 1e3
+    total = chains_s + solve_s
+    log(f"two-way rehearsal: {n_seconds}s/site synth {synth_s:.1f}s, "
+        f"chains {chains_s:.1f}s, solve {solve_s:.1f}s; recovered "
+        f"{res[0]['res_mean_ns']:.4f} ns (truth {x_ns}) err {err_ps:.1f} ps, "
+        f"1s-std {res[0]['res25_std_ns']*1e3:.0f} ps")
+    return {
+        "twoway_wall_s": round(total, 2),
+        "twoway_seconds_per_site": n_seconds,
+        "twoway_offset_err_ps": round(err_ps, 2),
+        "twoway_res25_std_ps": round(res[0]["res25_std_ns"] * 1e3, 1),
+    }
+
+
+def derive_v5e16_model(e2e: dict, kernel_msps: float, n_seconds: int) -> dict:
+    """Replace the r02 blind /16 with a term-by-term model of the 1-hour
+    capture on a v5e-16 (4 hosts x 4 chips), derived from measured
+    stage rates (VERDICT r02 items 1-2):
+
+    - compute: the resident-data kernel rate scales per chip (the epoch
+      axis is embarrassingly parallel; process_capture_sharded runs it
+      with zero collectives),
+    - host ingest (disk + int16->f16): measured host MB/s, 4 hosts each
+      reading their epoch slice (multi-host ingest in
+      tests/test_multihost.py),
+    - h2d: measured effective loop MB/s per chip-link as the tunnel
+      bound; a real v5e host's PCIe moves >= 10x that,
+    - serial overheads (df pre-pass + .mat write) from the median run.
+
+    The pipeline overlaps ingest/transfer/compute, so the model is the
+    max of the parallel terms plus the serial tail.
+    """
+    st = e2e.get("median_stats", {})
+    hour_bytes = 3600 * 5e6 * 2 * 4  # sc16 in
+    samples = 3600 * 5e6 * 2
+    # measured host ingest rate (one host)
+    ing_s = st.get("disk_s", 0) + st.get("convert_s", 0)
+    ing_rate = (st.get("bytes_read", 0) / ing_s) if ing_s > 0 else 0.0
+    t_ingest = hour_bytes / (4 * ing_rate) if ing_rate > 0 else 0.0
+    # shipped (f16) bytes over the measured effective link rate, 16 links
+    ship_bytes = hour_bytes / 2
+    link = st.get("loop_effective_mbps", 0.0) * 1e6
+    t_h2d = ship_bytes / (16 * link) if link > 0 else 0.0
+    t_compute = samples / (16 * kernel_msps * 1e6) if kernel_msps else 0.0
+    serial = (st.get("df_prepass_s", 0.0) + st.get("mat_write_s", 0.0))
+    model = max(t_ingest, t_h2d, t_compute) + serial
+    return {
+        "capture_hour_s_v5e16_model": round(model, 2),
+        "v5e16_terms_s": {
+            "ingest_4hosts": round(t_ingest, 2),
+            "h2d_16links_at_measured_rate": round(t_h2d, 2),
+            "compute_16chips": round(t_compute, 2),
+            "serial": round(serial, 2),
+        },
+    }
 
 
 def measure_link_mbps() -> float:
@@ -324,6 +531,12 @@ def main() -> None:
     from amaranth_twstft_tpu.utils.platform import enable_compile_cache
 
     enable_compile_cache()
+    if os.environ.get("TWSTFT_BENCH_CPU") == "1":
+        # CPU smoke mode (the sitecustomize pins the axon TPU platform,
+        # so an env var alone cannot switch): for bench-harness testing
+        from amaranth_twstft_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     import jax
 
@@ -338,13 +551,25 @@ def main() -> None:
     log(f"link h2d (fresh f16): {link:.0f} MB/s")
     kernel_msps = bench_kernel(cfg)
     e2e = bench_end_to_end(cfg, n_seconds, scratch)
-    track = 0.0
+    link_after = measure_link_mbps()
+    log(f"link h2d after e2e: {link_after:.0f} MB/s")
+    track: dict = {}
     if os.environ.get("TWSTFT_BENCH_TRACK", "1") != "0":
         try:
             track = bench_tracking(cfg)
         except Exception as e:  # noqa: BLE001 — report partial results
             log(f"tracking bench failed: {e!r}")
+    tw: dict = {}
+    if os.environ.get("TWSTFT_BENCH_TWOWAY", "1") != "0":
+        try:
+            tw = bench_twoway_rehearsal(
+                cfg, scratch,
+                int(os.environ.get("TWSTFT_BENCH_TWOWAY_SECONDS", "24")),
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"two-way rehearsal failed: {e!r}")
 
+    model = derive_v5e16_model(e2e, kernel_msps, n_seconds)
     baseline = 50e6 / 13.0  # C++/FFTW: 5 s 2-ch record in 13 s
     print(
         json.dumps(
@@ -355,14 +580,21 @@ def main() -> None:
                 "unit": "MS/s",
                 "vs_baseline": round(e2e["e2e_msps"] * 1e6 / baseline, 1),
                 "kernel_msps": round(kernel_msps, 2),
+                "e2e_msps_f32_ingest": round(e2e["e2e_msps_f32"], 2),
                 "e2e_cold_s": round(e2e["e2e_cold_s"], 2),
                 "e2e_warm_runs_s": e2e["e2e_warm_runs_s"],
+                "e2e_run_link_mbps": e2e["e2e_run_link_mbps"],
+                "e2e_stage_breakdown": e2e["median_stats"],
+                "batch_epochs": e2e["batch_epochs"],
                 "capture_hour_s_1chip": round(e2e["capture_hour_s_1chip"], 2),
-                "capture_hour_s_v5e16": round(
-                    e2e["capture_hour_s_1chip"] / 16.0, 2
+                **model,
+                "tracking_ch_seconds_per_s": round(
+                    track.get("ch_seconds_per_s", 0.0), 1
                 ),
-                "tracking_ch_seconds_per_s": round(track, 1),
+                "bank_build_s": round(track.get("bank_build_s", 0.0), 2),
+                **tw,
                 "link_h2d_mbps": round(link, 1),
+                "link_h2d_mbps_after": round(link_after, 1),
                 "bench_seconds": n_seconds,
             }
         )

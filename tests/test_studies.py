@@ -144,3 +144,16 @@ def test_analyse_satre_outlier_policy():
     # 250-point mean + decimate-by-250: ~2000/250 points survive
     assert 4 <= len(cont["clean"]) <= 9
     assert cont["std"] < out["std"]
+
+
+def test_f16_ingest_error_subpicosecond():
+    """The f16-ingest fast path's delay error vs the float64 oracle is
+    sub-picosecond at the -13 dB operating point (PARITY deviation 10;
+    full 1024-epoch percentile table measured by the same study)."""
+    from amaranth_twstft_tpu.studies import f16_ingest_error_study
+
+    res = f16_ingest_error_study(n_epochs=64, chunk=32)
+    # 0.1 ns budget with two orders of magnitude of margin
+    assert res["quant"]["max_ns"] < 0.01, res["quant"]
+    assert res["f32"]["max_ns"] < 0.01, res["f32"]
+    assert res["f32"]["n"] == 64
