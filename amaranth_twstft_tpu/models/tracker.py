@@ -70,6 +70,7 @@ __all__ = [
     "BankedReceiver",
     "banked_track_step",
     "banked_acquire_step",
+    "unpack_track_outputs",
     "make_sharded_tracker_step",
 ]
 
@@ -182,16 +183,21 @@ def _track_one(
     c0g, c1g, chi2 = weighted_linear_fit(tt_gd, gd_rel, w)
     pk_mean = jnp.sum(ps * w) / jnp.maximum(cnt.astype(f32), 1.0)
 
-    return (
-        c0p,
-        c1p,
-        c0g,
-        c1g,
-        chi2,
-        cnt,
-        pk_mean,
-        last_phi_new.astype(f32),
-        locked,
+    # ONE packed row per channel: every d2h fetch through the relay
+    # pays a fixed latency, so the nine per-channel results ship as a
+    # single (9,) f32 vector (cnt/locked ride as exact small floats)
+    return jnp.stack(
+        [
+            c0p,
+            c1p,
+            c0g,
+            c1g,
+            chi2,
+            cnt.astype(f32),
+            pk_mean,
+            last_phi_new.astype(f32),
+            locked.astype(f32),
+        ]
     )
 
 
@@ -225,9 +231,10 @@ def banked_track_step(
     on axis 0 (C channels).  ``iq_ri`` may arrive as float16 — sc16
     samples ship half-precision through the relay tunnel (~4x the f32
     byte rate, -66 dB quantization; see ``utils/io.read_sc16_epochs_ri``)
-    and are cast to f32 here, on device.  Returns the (C,)-shaped fit
-    results ``(c0p, c1p, c0g_rel, c1g, chi2, cnt, pk_mean, last_phi,
-    locked)`` (all real/ints — safe to fetch from the TPU).
+    and are cast to f32 here, on device.  Returns ONE packed (C, 9)
+    float32 array — rows ``(c0p, c1p, c0g_rel, c1g, chi2, cnt, pk_mean,
+    last_phi, locked)`` — so the host pays a single d2h fetch per second
+    (decode with :func:`unpack_track_outputs`).
     """
     if iq_ri.dtype in (jnp.float16, jnp.bfloat16):
         iq_ri = iq_ri.astype(jnp.float32)
@@ -246,6 +253,17 @@ def banked_track_step(
         (wav_ext, psbb, phys, pt, theta, t1, t2, last_phi),
         batch_size=group,
     )
+
+
+def unpack_track_outputs(packed: np.ndarray) -> tuple:
+    """(C, 9) packed rows -> the nine (C,) host arrays
+    ``(c0p, c1p, c0g_rel, c1g, chi2, cnt, pk_mean, last_phi, locked)``
+    with integer/bool columns restored."""
+    a = np.asarray(packed)
+    cols = [a[:, i] for i in range(9)]
+    cols[5] = cols[5].astype(np.int32)
+    cols[8] = cols[8] > 0.5
+    return tuple(cols)
 
 
 def make_sharded_tracker_step(
@@ -282,7 +300,7 @@ def make_sharded_tracker_step(
         local,
         mesh=mesh,
         in_specs=(P(),) + (P(axis),) * 8,
-        out_specs=(P(axis),) * 9,
+        out_specs=P(axis),
         check_vma=False,
     )
     return jax.jit(step)
@@ -820,8 +838,9 @@ class BankedReceiver:
             outs = self._step(*args)
         else:
             outs = banked_track_step(*args, **step_kw)
+        # ONE fetch for the whole bank's second (packed rows)
         c0p, c1p, c0g, c1g, chi2, cnt, pk_mean, last_phi_new, locked = (
-            np.asarray(o) for o in outs
+            unpack_track_outputs(np.asarray(outs))
         )
         # noise floor per buffer row (rxcomplex px)
         nsec = int(self.fs)

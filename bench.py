@@ -317,13 +317,13 @@ def bench_tracking(cfg) -> float:
 
     t0 = time.time()
     outs = second(all_bufs[-1])
-    _ = np.asarray(outs[0])
+    _ = np.asarray(outs)  # ONE packed (C, 9) fetch per second
     log(f"tracking compile+first second: {time.time()-t0:.1f} s")
     times = []
     for r in range(reps):
         t0 = time.time()
         outs = second(all_bufs[r])
-        _ = np.asarray(outs[0])
+        _ = np.asarray(outs)
         times.append(time.time() - t0)
     per_second = float(np.median(times))
     log(f"tracking: {C} channels x 1 s in {per_second:.3f} s median of "
