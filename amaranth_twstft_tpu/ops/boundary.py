@@ -107,6 +107,7 @@ def _ranging_impl(
     fine_matrix_ri: jax.Array | None = None,
     mxu_fft: bool = False,
     fine_freq: bool = False,
+    scale: jax.Array = None,
 ) -> RangingOutputs:
     """One fused program: IQ f32 (B, L, 2) -> per-epoch estimates (real).
 
@@ -116,13 +117,17 @@ def _ranging_impl(
     (L, 2) float; ``fcode_interp_ri`` the conjugated interpolated-code
     spectrum ((2*nint+1)*L, 2) for the SNR identity.
 
-    ``iq`` may be float16: the relay tunnel moves half-precision at ~4x
-    the float32 byte rate, so the ingest path ships sc16 samples as
-    numerically-converted f16 (exact below 2048, <=2^-11 relative
-    rounding above — -66 dB quantization, negligible against the -13 dB
-    RF operating point) and the cast to f32 happens here, on device.
+    ``iq`` may be float16 (sc16 samples numerically converted: exact
+    below 2048, <=2^-11 relative above — -66 dB quantization) or int8
+    with a per-batch ``scale`` (q = round(x/scale), scale = max|x|/127 —
+    HALF the bytes of f16/sc16 through the byte-rate-bound tunnel;
+    quantization noise ~-38 dB below the RF noise floor, measured
+    sub-ps delay impact in ``studies.f16_ingest_error_study``).  The
+    cast to f32 (x scale) happens here, on device.
     """
-    if iq.dtype in (jnp.float16, jnp.bfloat16):
+    if iq.dtype == jnp.int8:
+        iq = iq.astype(jnp.float32) * scale.astype(jnp.float32)
+    elif iq.dtype in (jnp.float16, jnp.bfloat16):
         iq = iq.astype(jnp.float32)
     if iq.shape[-1] == 4:
         # interleaved dual-channel ingest layout (n, L, 4) straight off
@@ -217,6 +222,7 @@ def ranging_step_packed(
     fine_matrix_ri: jax.Array | None = None,
     mxu_fft: bool = False,
     fine_freq: bool = False,
+    scale: jax.Array = None,
 ) -> jax.Array:
     """:func:`ranging_step`, with every output flattened into ONE
     ``(..., 14)`` float32 array so the host pays a single d2h fetch per
@@ -228,6 +234,7 @@ def ranging_step_packed(
         nint=nint, conjugate_data=conjugate_data, use_mask=use_mask,
         fcode_interp_ri=fcode_interp_ri, fast=fast,
         fine_matrix_ri=fine_matrix_ri, mxu_fft=mxu_fft, fine_freq=fine_freq,
+        scale=scale,
     ))
 
 
@@ -312,19 +319,22 @@ def make_ranging_step(
 
     fn = ranging_step_packed if packed else ranging_step
 
-    def step(iq: jax.Array, df_fixed=None):
+    def step(iq: jax.Array, df_fixed=None, scale=None):
+        sc = jnp.float32(1.0) if scale is None else jnp.asarray(
+            scale, jnp.float32
+        )
         if df_fixed is None:
             return fn(
                 iq, fcode_ri, code3, mask_j, jnp.float32(0.0), fs,
                 nint=nint, conjugate_data=conjugate_data, use_mask=True,
                 fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
-                mxu_fft=mxu_fft, fine_freq=fine_freq,
+                mxu_fft=mxu_fft, fine_freq=fine_freq, scale=sc,
             )
         return fn(
             iq, fcode_ri, code3, mask_j, jnp.asarray(df_fixed, jnp.float32),
             fs, nint=nint, conjugate_data=conjugate_data, use_mask=False,
             fcode_interp_ri=fcode3_ri, fast=fast, fine_matrix_ri=fine_ri,
-            mxu_fft=mxu_fft, fine_freq=fine_freq,
+            mxu_fft=mxu_fft, fine_freq=fine_freq, scale=sc,
         )
 
     return step

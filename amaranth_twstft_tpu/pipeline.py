@@ -21,15 +21,15 @@ from typing import Callable
 from amaranth_twstft_tpu.config import ProcessingConfig, SignalConfig, StationConfig
 from amaranth_twstft_tpu.utils import io, matio
 
-#: Measured p99 |delay error| of the float16-ingest fast path vs the
-#: float64 oracle at the -13 dB operating point over 1024 epochs
-#: (``studies.f16_ingest_error_study``; table in PARITY.md deviation 10:
-#: p50 0.18 ps, p99 0.69 ps, max 0.97 ps — the f32 device arithmetic
-#: adds nothing measurable on top of the f16 quantization).  The 0.1 ns
-#: north-star parity budget is met by the f16 fast path with ~100x
-#: margin; a requested ``parity_ns`` below 3x this floor still forces
-#: float32 ingest as the belt-and-braces escape hatch.
+#: Measured p99 |delay error| of each transfer format vs the float64
+#: oracle at the -13 dB operating point over 1024 epochs
+#: (``studies.f16_ingest_error_study``; full table in PARITY.md
+#: deviation 10).  float16: p99 0.69 ps (the f32 device arithmetic adds
+#: nothing measurable on top of the quantization).  int8 (per-batch
+#: scale, HALF the bytes of f16/sc16): p99 39.9 ps, max 54.5 ps — still
+#: 2.5x inside the 0.1 ns north-star budget.
 F16_PARITY_P99_NS = 0.0007
+I8_PARITY_P99_NS = 0.040
 
 
 def _resolve_ingest_dtype(
@@ -38,16 +38,28 @@ def _resolve_ingest_dtype(
     """Pick the ingest dtype from an explicit request or a parity budget.
 
     ``parity_ns`` is the caller's acceptable |delay error| vs the float64
-    oracle: budgets within 3x the measured f16 p99 floor get float32
-    ingest (the 0.1 ns north-star parity requires it); otherwise
-    accelerators ship float16 (the tunnel moves it at ~4x the f32 byte
-    rate) and CPU runs float32.
+    oracle; the cheapest transfer format whose MEASURED p99 error (with a
+    2x safety factor) fits the budget is selected:
+
+    - budget >= 80 ps  -> int8   (half the bytes of f16/sc16; the 0.1 ns
+      north-star budget lands here),
+    - budget >= 1.4 ps -> float16 (sub-picosecond, oracle-equivalent),
+    - below that       -> float32 (bit-exact ingest).
+
+    Without a budget, accelerators default to the conservative float16
+    and CPU to float32 (bit-identical to the float64 oracle).
     """
     if ingest_dtype is not None:
         return ingest_dtype
-    if parity_ns is not None and parity_ns < 3.0 * F16_PARITY_P99_NS:
+    if not accel:
         return "float32"
-    return "float16" if accel else "float32"
+    if parity_ns is None:
+        return "float16"
+    if parity_ns >= 2.0 * I8_PARITY_P99_NS:
+        return "int8"
+    if parity_ns >= 2.0 * F16_PARITY_P99_NS:
+        return "float16"
+    return "float32"
 
 __all__ = [
     "next_sampling_window",
@@ -130,10 +142,13 @@ def process_capture_overlapped(
     dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
     dec = bound_prepass_window(dec)
 
+    # the decimated pre-pass array is tiny: int8 mode packs it as f16
+    pfd_dtype = np.float16 if in_dtype == np.int8 else in_dtype
+
     def _pfd(x, windowed):
         if accel:
             return per_file_df_ri(
-                jnp.asarray(boundary.pack_complex(x, dtype=in_dtype)),
+                jnp.asarray(boundary.pack_complex(x, dtype=pfd_dtype)),
                 signal.fs,
                 proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
             )
@@ -157,7 +172,14 @@ def process_capture_overlapped(
     def reader():
         start = 0
         while True:
-            if n_chan == 2:
+            scale = None
+            if n_chan == 2 and in_dtype == np.int8:
+                # int8 transfer mode: half the bytes of f16/sc16
+                d, n, scale = io.read_sc16_epochs_q8(
+                    capture_path, start, batch_epochs, L, channels=2,
+                    timers=stats,
+                )
+            elif n_chan == 2:
                 # single contiguous conversion, both channels in one
                 # buffer; the device deinterleaves (boundary layer)
                 d, n = io.read_sc16_epochs_packed(
@@ -167,11 +189,11 @@ def process_capture_overlapped(
             else:
                 d, n = io.read_sc16_epochs_ri(
                     capture_path, start, batch_epochs, L, channels=2,
-                    dtype=in_dtype,
+                    dtype=np.float16 if in_dtype == np.int8 else in_dtype,
                 )
             if n == 0:
                 break
-            q.put((d, n))
+            q.put((d, n, scale))
             start += n * L
             if n < batch_epochs:
                 break
@@ -214,7 +236,7 @@ def process_capture_overlapped(
         item = q.get()
         if item is None:
             break
-        d, n = item
+        d, n, scale = item
         stats["n_batches"] += 1
         if n_chan == 2:
             if n < batch_epochs:
@@ -241,7 +263,7 @@ def process_capture_overlapped(
                 np.repeat(np.asarray(dfs[:n_chan], np.float32), n)
             )
         td = time.perf_counter()
-        outs = step(iq, df_fixed=dfv)  # async dispatch
+        outs = step(iq, df_fixed=dfv, scale=scale)  # async dispatch
         stats["dispatch_call_s"] += time.perf_counter() - td
         pending.append((outs, n, b))
         if len(pending) > 1:
@@ -391,14 +413,17 @@ def process_capture_sharded(
     df_pair = (dfs + dfs[:1])[:2]
     df_local = np.repeat(np.asarray(df_pair, np.float32), batch_epochs)
 
-    def local_fn(iq_l, dfv_l):
-        # iq_l: (batch_epochs, L, 2*n_chan) on EACH device
-        return step_local(iq_l, df_fixed=dfv_l)
+    def local_fn(iq_l, dfv_l, scale_l):
+        # iq_l: (batch_epochs, L, 2*n_chan) on EACH device; scale_l is
+        # that device's (1,) int8 dequantization scale — sharded, not
+        # replicated, because each PROCESS quantizes its own ingest
+        # slice with its own per-batch scale
+        return step_local(iq_l, df_fixed=dfv_l, scale=scale_l[0])
 
     sharded_step = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P()),
+        in_specs=(P(axis, None, None), P(), P(axis)),
         out_specs=P(axis, None),
         check_vma=False,
     ))
@@ -417,12 +442,19 @@ def process_capture_sharded(
             # this process's contiguous slice of the global batch
             lo = start_epoch + min(pid * B_proc, n_glob)
             hi = start_epoch + min((pid + 1) * B_proc, n_glob)
-            d, n_loc = io.read_sc16_epochs_packed(
-                capture_path, lo * L, hi - lo, L, channels=2,
-                dtype=in_dtype, timers=stats,
-            ) if hi > lo else (
-                np.zeros((0, L, 4), in_dtype), 0
-            )
+            scale = 1.0
+            if hi <= lo:
+                d, n_loc = np.zeros((0, L, 4), in_dtype), 0
+            elif in_dtype == np.int8:
+                d, n_loc, scale = io.read_sc16_epochs_q8(
+                    capture_path, lo * L, hi - lo, L, channels=2,
+                    timers=stats,
+                )
+            else:
+                d, n_loc = io.read_sc16_epochs_packed(
+                    capture_path, lo * L, hi - lo, L, channels=2,
+                    dtype=in_dtype, timers=stats,
+                )
             if n_loc < B_proc:
                 # zero-pad to the full local shape (fresh shapes would
                 # recompile); padded rows are dropped on the host
@@ -431,7 +463,7 @@ def process_capture_sharded(
                      np.zeros((B_proc - n_loc,) + (L, 2 * 2), in_dtype)],
                     axis=0,
                 )
-            q.put((d, n_glob))
+            q.put((d, n_glob, scale))
             start_epoch += n_glob
         q.put(None)
 
@@ -481,12 +513,17 @@ def process_capture_sharded(
         item = q.get()
         if item is None:
             break
-        d, n_glob = item
+        d, n_glob, scale = item
+        scale_loc = np.full(n_dev // n_proc, scale, np.float32)
         if n_proc == 1:
             iq = jax.device_put(d, in_sharding)
+            sc = jax.device_put(scale_loc, NamedSharding(mesh, P(axis)))
         else:
             iq = jax.make_array_from_process_local_data(in_sharding, d)
-        outs = sharded_step(iq, dfv)
+            sc = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(axis)), scale_loc
+            )
+        outs = sharded_step(iq, dfv, sc)
         pending.append((outs, n_glob))
         if len(pending) > 1:
             drain(pending.pop(0))

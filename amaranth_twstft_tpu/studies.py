@@ -450,7 +450,11 @@ def f16_ingest_error_study(
     - ``quant``: float64 chain on f16-quantized inputs vs float64 chain
       on exact int16 inputs — pure ingest-format quantization,
     - ``f32``: float32 chain (the device's arithmetic) on f16 inputs vs
-      the float64/exact oracle — the end-to-end fast path.
+      the float64/exact oracle — the end-to-end fast path,
+    - ``int8``: float32 chain on int8-quantized inputs (per-epoch-batch
+      scale ``max|x|/127``, the ``ingest_dtype="int8"`` transfer mode
+      that ships HALF the bytes of f16/sc16 through the link-bound
+      tunnel) vs the float64/exact oracle.
 
     Chain = GoRanging per-epoch semantics with a fixed known df (mix ->
     FFT -> x conj(code spectrum) -> (2*nint+1)x zero-pad IFFT -> argmax +
@@ -508,6 +512,7 @@ def f16_ingest_error_study(
 
     deltas_q = []
     deltas_f32 = []
+    deltas_i8 = []
     sig = amp * np.roll(code, true_delay) * lo
     for c0 in range(0, n_epochs, chunk):
         b = min(chunk, n_epochs - c0)
@@ -522,16 +527,29 @@ def f16_ingest_error_study(
             d_int.real.astype(np.float16).astype(np.float64)
             + 1j * d_int.imag.astype(np.float16).astype(np.float64)
         )
+        # int8 ingest: one scale per batch, like read_sc16_epochs_packed
+        smax = max(np.abs(d_int.real).max(), np.abs(d_int.imag).max())
+        scale = smax / 127.0
+        d8 = (
+            np.clip(np.round(d_int.real / scale), -127, 127) * scale
+            + 1j * np.clip(np.round(d_int.imag / scale), -127, 127) * scale
+        )
         d64 -= d64.mean(axis=-1, keepdims=True)
         d16 -= d16.mean(axis=-1, keepdims=True)
+        d8 -= d8.mean(axis=-1, keepdims=True)
         ref = _delays(_zoom_ifft(_fft(d64 * mix) * fcode64))
         qnt = _delays(_zoom_ifft(_fft(d16 * mix) * fcode64))
         f32in = (d16 * mix).astype(np.complex64)
         f32 = _delays(
             _zoom_ifft(_fft(f32in) * fcode32).astype(np.complex64)
         )
+        i8in = (d8 * mix).astype(np.complex64)
+        i8 = _delays(
+            _zoom_ifft(_fft(i8in) * fcode32).astype(np.complex64)
+        )
         deltas_q.append(qnt - ref)
         deltas_f32.append(f32 - ref)
+        deltas_i8.append(i8 - ref)
 
     def _stats(d):
         d_ns = np.abs(np.concatenate(d)) / fs * 1e9
@@ -544,4 +562,5 @@ def f16_ingest_error_study(
         }
 
     return {"quant": _stats(deltas_q), "f32": _stats(deltas_f32),
+            "int8": _stats(deltas_i8),
             "snr_db": snr_db, "amp": amp, "sigma": sigma}

@@ -129,7 +129,12 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
 
     proc = ProcessingConfig(hamming_window=True)
     batch_epochs = int(os.environ.get("TWSTFT_BENCH_BATCH_EPOCHS", "125"))
-    kw = dict(batch_epochs=batch_epochs,
+    # headline mode: the NORTH-STAR parity budget (0.1 ns vs the f64
+    # oracle) handed to the pipeline, which selects the cheapest
+    # transfer format whose measured p99 error fits (int8 on
+    # accelerators: 39.9 ps p99, half the bytes of f16/sc16 through the
+    # byte-rate-bound link; PARITY.md deviation 10)
+    kw = dict(batch_epochs=batch_epochs, parity_ns=0.1,
               out_mat=os.path.join(scratch, "bench_out.mat"))
     t0 = time.time()
     out = pipeline.process_capture_overlapped(cap, code, cfg, proc, **kw)
@@ -162,11 +167,20 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
         f"df {out['df']}")
     assert abs(d1 - 1234) < 1.0 and abs(d2 - 56) < 1.0, (d1, d2)
 
-    # the float32-ingest path (explicit 0.1 ns-escape-hatch mode),
-    # benched end to end alongside the f16 default (VERDICT r02 item 3)
+    # the sub-ps float16 mode and the bit-exact float32 escape hatch,
+    # benched end to end alongside the headline (VERDICT r02 item 3)
+    kw_alt = dict(kw)
+    kw_alt.pop("parity_ns")
+    t0 = time.time()
+    out16 = pipeline.process_capture_overlapped(
+        cap, code, cfg, proc, ingest_dtype="float16", **kw_alt
+    )
+    f16_s = time.time() - t0
+    log(f"end-to-end f16-ingest: {f16_s:.1f} s  "
+        f"{_stage_summary(out16['timing'])}")
     t0 = time.time()
     out32 = pipeline.process_capture_overlapped(
-        cap, code, cfg, proc, ingest_dtype="float32", **kw
+        cap, code, cfg, proc, ingest_dtype="float32", **kw_alt
     )
     f32_s = time.time() - t0
     log(f"end-to-end f32-ingest: {f32_s:.1f} s  "
@@ -177,6 +191,7 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     os.remove(cap)
     return {
         "e2e_msps": samples / warm / 1e6,
+        "e2e_msps_f16": samples / f16_s / 1e6,
         "e2e_msps_f32": samples / f32_s / 1e6,
         "e2e_cold_s": cold,
         "e2e_warm_s": warm,
@@ -508,22 +523,28 @@ def derive_v5e16_model(e2e: dict, kernel_msps: float, n_seconds: int) -> dict:
 
 
 def measure_link_mbps() -> float:
-    """Fresh-content h2d bandwidth of the relay tunnel, MB/s.
+    """Fresh-content h2d bandwidth of the relay tunnel, MB/s — measured
+    by FORCED ROUND TRIPS (h2d -> trivial reduction -> d2h fetch).
 
-    The tunnel's throughput varies ~100x over minutes (12 MB/s to
-    1.4 GB/s observed); the IO-inclusive end-to-end number is set by it,
-    so it is reported alongside for context.  Uses fresh random f16
-    buffers — the relay content-dedupes repeated h2d, so reused content
-    would measure the cache, not the link."""
+    ``device_put().block_until_ready()`` on the axon relay acks before
+    the bytes actually arrive, so a put-only measure over-reports by up
+    to ~100x (r02 reported 1257 MB/s while the epoch loop moved
+    ~14 MB/s; the round-trip measure matches the loop).  Fresh random
+    buffers defeat the relay's content-addressed dedup."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x, axis=(1, 2))
 
     rng = np.random.default_rng(11)
     bufs = [rng.normal(0, 300, (25, 200000, 2)).astype(np.float16)
             for _ in range(3)]
-    jax.device_put(bufs[0]).block_until_ready()  # path warmup
+    _ = np.asarray(tiny(jax.device_put(bufs[0])))  # warmup + compile
     t0 = time.time()
     for b in bufs:
-        jax.device_put(b).block_until_ready()
+        _ = np.asarray(tiny(jax.device_put(b)))
     return bufs[0].nbytes * 3 / (time.time() - t0) / 1e6
 
 
@@ -580,6 +601,9 @@ def main() -> None:
                 "unit": "MS/s",
                 "vs_baseline": round(e2e["e2e_msps"] * 1e6 / baseline, 1),
                 "kernel_msps": round(kernel_msps, 2),
+                "e2e_mode": "int8 (parity_ns=0.1 budget; p99 39.9 ps"
+                " vs f64 oracle)",
+                "e2e_msps_f16_ingest": round(e2e["e2e_msps_f16"], 2),
                 "e2e_msps_f32_ingest": round(e2e["e2e_msps_f32"], 2),
                 "e2e_cold_s": round(e2e["e2e_cold_s"], 2),
                 "e2e_warm_runs_s": e2e["e2e_warm_runs_s"],

@@ -274,3 +274,49 @@ def test_cli_goranging_sharded(small_cfg, tmp_path, capsys):
     loaded = matio.load_result(mat_path)
     d1 = float(np.median(loaded["solution1"])) / 3.0
     assert abs(d1 - 431.4) < 0.1
+
+
+def test_overlapped_int8_ingest(small_cfg, tmp_path):
+    """ingest_dtype="int8" (half-byte transfer mode): delays stay within
+    the measured sub-0.1-ns envelope of the float32 path (PARITY
+    deviation 10 table: p99 39.9 ps at production geometry)."""
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=7,
+    )
+    cap = str(tmp_path / "cap8.bin")
+    io.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True)
+    o32 = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=20,
+        ingest_dtype="float32", out_mat=str(tmp_path / "o32.mat"),
+    )
+    o8 = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=20,
+        ingest_dtype="int8", out_mat=str(tmp_path / "o8.mat"),
+    )
+    d32 = (np.asarray(o32["ch1"]["indice"]) + o32["ch1"]["correction"]) / 3.0
+    d8 = (np.asarray(o8["ch1"]["indice"]) + o8["ch1"]["correction"]) / 3.0
+    # small-geometry fs=1e5: one sample = 10 us; bound in SAMPLES scaled
+    # from the production-measured error (0.0545 ns at 5 MS/s = 2.7e-4
+    # samples); allow 10x for the coarser test geometry statistics
+    assert np.max(np.abs(d8 - d32)) < 3e-3, np.max(np.abs(d8 - d32))
+    d1 = float(np.median(d8))
+    assert abs(d1 - 431.4) < 0.1
+
+
+def test_resolve_ingest_dtype_ladder():
+    """parity_ns picks the cheapest format whose measured p99 (x2) fits."""
+    from amaranth_twstft_tpu.pipeline import _resolve_ingest_dtype as r
+
+    assert r("float16", 0.0, True) == "float16"  # explicit wins
+    assert r(None, None, False) == "float32"  # CPU always f32
+    assert r(None, None, True) == "float16"  # no budget: conservative
+    assert r(None, 0.1, True) == "int8"  # the north-star budget
+    assert r(None, 1.0, True) == "int8"
+    assert r(None, 0.05, True) == "float16"
+    assert r(None, 0.001, True) == "float32"

@@ -156,4 +156,6 @@ def test_f16_ingest_error_subpicosecond():
     # 0.1 ns budget with two orders of magnitude of margin
     assert res["quant"]["max_ns"] < 0.01, res["quant"]
     assert res["f32"]["max_ns"] < 0.01, res["f32"]
+    # int8 (half-byte transfer): inside the 0.1 ns budget
+    assert res["int8"]["max_ns"] < 0.1, res["int8"]
     assert res["f32"]["n"] == 64
