@@ -215,6 +215,7 @@ def banked_track_step(
     t1,
     t2,
     last_phi,
+    scale=None,
     *,
     ncodes: int,
     nobs: int,
@@ -236,7 +237,11 @@ def banked_track_step(
     last_phi, locked)`` — so the host pays a single d2h fetch per second
     (decode with :func:`unpack_track_outputs`).
     """
-    if iq_ri.dtype in (jnp.float16, jnp.bfloat16):
+    if iq_ri.dtype == jnp.int8:
+        # int8 transfer mode (see utils/io.read_sc16_epochs_q8): half
+        # the bytes of f16 through the byte-rate-bound relay link
+        iq_ri = iq_ri.astype(jnp.float32) * scale.astype(jnp.float32)
+    elif iq_ri.dtype in (jnp.float16, jnp.bfloat16):
         iq_ri = iq_ri.astype(jnp.float32)
     fn = partial(
         _track_one,
@@ -350,6 +355,8 @@ def banked_acquire_step(
     from amaranth_twstft_tpu.ops.correlator import quick_xcorr_snr
 
     f32 = jnp.float32
+    if iq_ri.dtype in (jnp.float16, jnp.bfloat16):
+        iq_ri = iq_ri.astype(f32)
     C = fcode_ri.shape[0]
     fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
 
@@ -665,6 +672,12 @@ class BankedReceiver:
                     if not self.real_input:
                         bufs[n_phys + k, :m, 1] = np.imag(cleaned[:m])
 
+        # ship half-precision when every sample fits f16's range (any
+        # int16-derived capture does; the Receiver API accepts arbitrary
+        # scales, and f16 overflow would poison the FFTs with inf)
+        if float(np.max(np.abs(bufs))) < 6.0e4:
+            bufs = bufs.astype(np.float16)
+
         have = np.array(
             [self._phys_names[i % n_phys] in raw for i in self._buf_idx]
         )
@@ -846,9 +859,9 @@ class BankedReceiver:
         nsec = int(self.fs)
         # rx.cpp keeps px as the plain mean square of the raw (real)
         # samples — no sqrt(2) compensation — so real mode matches it
-        px_rows = np.mean(
-            bufs[:, :nsec, 0] ** 2 + bufs[:, :nsec, 1] ** 2, axis=1
-        )
+        # (f32: bufs may ship as f16, whose squares overflow at |x|>255)
+        bf = bufs[:, :nsec].astype(np.float32)
+        px_rows = np.mean(bf[:, :, 0] ** 2 + bf[:, :, 1] ** 2, axis=1)
 
         for i in warm:
             st, cfg = self.states[i], self.channels[i].cfg

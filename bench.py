@@ -306,38 +306,44 @@ def bench_tracking(cfg) -> float:
 
     rng = np.random.default_rng(1)
     S = int(cfg.fs) + bank.nobs
-    # Fresh float16 buffers per tracked second: each second of a real
-    # capture has unique content (the relay content-dedupes repeated h2d,
-    # which would hide the transfer cost), and sc16 ships half-precision
-    # (see utils/io.read_sc16_epochs_ri).
+    # Fresh int8-quantized buffers per tracked second: each second of a
+    # real capture has unique content (the relay content-dedupes
+    # repeated h2d, which would hide the transfer cost); int8 + scale is
+    # the half-byte transfer mode (utils/io.read_sc16_epochs_q8,
+    # PARITY.md deviation 10).
     reps = 3
-    all_bufs = [
-        rng.normal(0, 300, (2, S, 2)).astype(np.float16)
+    raw_bufs = [
+        rng.normal(0, 300, (2, S, 2)).astype(np.float32)
         for _ in range(reps + 1)
+    ]
+    scales = [float(np.abs(b).max()) / 127.0 for b in raw_bufs]
+    all_bufs = [
+        np.clip(np.round(b / sc), -127, 127).astype(np.int8)
+        for b, sc in zip(raw_bufs, scales)
     ]
     pt = rng.integers(0, bank.nobs, C).astype(np.int32)
     fc = rng.uniform(-4000, 4000, C)
     theta, t1, t2 = phase_tables(bank, pt, fc)
     phys = np.array([0 if i % 2 == 0 else 1 for i in range(C)], np.int32)
 
-    def second(buf):
+    def second(buf, sc):
         return banked_track_step(
             jnp.asarray(buf), jnp.asarray(bank.wav_ext),
             jnp.asarray(bank.psbb), jnp.asarray(phys), jnp.asarray(pt),
             jnp.asarray(theta), jnp.asarray(t1), jnp.asarray(t2),
-            jnp.asarray(np.zeros(C, np.float32)),
+            jnp.asarray(np.zeros(C, np.float32)), jnp.float32(sc),
             ncodes=bank.ncodes, nobs=bank.nobs, nlag=bank.nlag,
             bps=bank.bps, fs=cfg.fs, group=8,
         )
 
     t0 = time.time()
-    outs = second(all_bufs[-1])
+    outs = second(all_bufs[-1], scales[-1])
     _ = np.asarray(outs)  # ONE packed (C, 9) fetch per second
     log(f"tracking compile+first second: {time.time()-t0:.1f} s")
     times = []
     for r in range(reps):
         t0 = time.time()
-        outs = second(all_bufs[r])
+        outs = second(all_bufs[r], scales[r])
         _ = np.asarray(outs)
         times.append(time.time() - t0)
     per_second = float(np.median(times))
