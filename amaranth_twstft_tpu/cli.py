@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--batch-epochs", type=int, default=None,
                    help="epochs per device per batch")
+    p.add_argument("--parity-ns", type=float, default=None,
+                   help="delay-parity budget vs the float64 oracle; "
+                        "selects the cheapest transfer format whose "
+                        "measured p99 error fits (>=0.08 -> int8, "
+                        ">=0.0014 -> float16, else float32)")
 
     p = sub.add_parser("claudio", help="per-code aligned tracking chain")
     p.add_argument("capture")
@@ -269,6 +274,7 @@ def _dispatch(args) -> int:
                 remote=args.remote,
                 foffset_hz=args.foffset,
                 ingest_dtype="float32" if args.f64 else None,
+                parity_ns=args.parity_ns,
                 **kw,
             )
             if out is None:  # non-root process of a multi-host run
@@ -297,6 +303,7 @@ def _dispatch(args) -> int:
                 remote=args.remote,
                 foffset_hz=args.foffset,
                 ingest_dtype=ingest,
+                parity_ns=args.parity_ns,
             )
             print(f"timing={out['timing']}", file=sys.stderr)
         else:

@@ -98,10 +98,12 @@ def process_capture_overlapped(
     - BOTH channels of each batch run as one device program (the channel
       pair becomes the leading batch axis with a per-epoch fixed-df
       vector), so the per-batch relay cost is paid once,
-    - samples ship as **float16** on accelerators (``ingest_dtype``
-      None = auto): the tunnel link is the end-to-end bottleneck and
-      moves f16 at ~4x the f32 byte rate; quantization is -66 dB
-      (see ``utils/io.read_sc16_epochs_ri``) — documented in PARITY.md,
+    - samples ship half-precision (default) or int8-quantized on
+      accelerators: the link is byte-rate bound end to end, so the
+      transfer format is chosen by the ``parity_ns`` budget against the
+      MEASURED delay-error table of each format (f16 p99 0.69 ps, int8
+      p99 39.9 ps at the -13 dB operating point — PARITY.md deviation
+      10; ``_resolve_ingest_dtype``),
     - each batch's nine outputs come back as ONE packed array (a single
       d2h fetch, ``ops/boundary.ranging_step_packed``), fetched while
       the next batch computes and the one after is being read — a
