@@ -41,6 +41,8 @@ __all__ = [
     "StationController",
     "EmulatedStation",
     "LoopbackTransport",
+    "FdTransport",
+    "open_serial",
     "PpsCalibrationBench",
 ]
 
@@ -247,6 +249,87 @@ class EmulatedStation:
         """Emit a PPS quality event (``clocking.py:114-125`` watchdog)."""
         code = SerialOutCode.PPS_GOOD if good else SerialOutCode.PPS_LATE
         self.transport.station_write(bytes([code.value]))
+
+
+class FdTransport:
+    """Byte transport over an OS file descriptor (a real tty device).
+
+    The reference host client is pyserial at 115200 8E1
+    (``twstft_config.py:131-134``); this stdlib equivalent opens the
+    device node directly and configures the line with ``termios`` so the
+    control CLI works without pyserial.  Non-blocking reads: ``read``
+    returns the bytes available (up to ``n``), empty when none — the
+    same contract ``StationController.monitor`` expects.
+    """
+
+    def __init__(self, port: str | int, baud: int = 115200,
+                 parity: str = "E"):
+        import os as _os
+
+        if isinstance(port, int):
+            self.fd = port
+        else:
+            self.fd = _os.open(port, _os.O_RDWR | _os.O_NOCTTY
+                               | _os.O_NONBLOCK)
+        self._configure(baud, parity)
+
+    def _configure(self, baud: int, parity: str) -> None:
+        import termios
+
+        try:
+            attrs = termios.tcgetattr(self.fd)
+        except termios.error:
+            return  # not a tty (tests may pass a pipe)
+        iflag, oflag, cflag, lflag, ispeed, ospeed, cc = attrs
+        # raw 8-bit line, reference parity 8E1 (twstft_config.py:133)
+        iflag = termios.INPCK if parity != "N" else 0
+        oflag = 0
+        lflag = 0
+        cflag = termios.CREAD | termios.CLOCAL | termios.CS8
+        if parity == "E":
+            cflag |= termios.PARENB
+        elif parity == "O":
+            cflag |= termios.PARENB | termios.PARODD
+        rate = getattr(termios, f"B{baud}", termios.B115200)
+        cc = list(cc)
+        cc[termios.VMIN] = 0
+        cc[termios.VTIME] = 0
+        termios.tcsetattr(
+            self.fd, termios.TCSANOW,
+            [iflag, oflag, cflag, lflag, rate, rate, cc],
+        )
+
+    def write(self, data: bytes) -> int:
+        import os as _os
+
+        return _os.write(self.fd, data)
+
+    def read(self, n: int = 1) -> bytes:
+        import os as _os
+
+        try:
+            return _os.read(self.fd, n)
+        except BlockingIOError:
+            return b""
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        import os as _os
+
+        _os.close(self.fd)
+
+
+def open_serial(port: str, baud: int = 115200, parity: str = "E"):
+    """Open the station control link: pyserial when installed, the
+    stdlib :class:`FdTransport` otherwise (same read/write contract)."""
+    try:
+        import serial  # type: ignore
+
+        return serial.Serial(port, baud, parity=parity, timeout=0)
+    except ImportError:
+        return FdTransport(port, baud, parity)
 
 
 Handler = Callable[["StationController", SerialOutCode], None]

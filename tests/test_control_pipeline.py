@@ -191,3 +191,66 @@ def test_pps_calibration_bench_sweep():
     assert np.all(early[ndist > 1] > 0)
     # stable plateaus report a consistent phase
     assert np.all(ndist[early == 0] == 1)
+
+
+def test_fd_transport_over_real_pty():
+    """The physical-serial path over a REAL OS tty pair: FdTransport
+    (stdlib termios 8E1 line config, the pyserial stand-in of
+    twstft_config.py:131-134) on the slave device, the emulated station
+    FSM pumping the master — commands and status codes cross an actual
+    kernel tty, not an in-memory pipe."""
+    import fcntl
+    import os
+
+    from amaranth_twstft_tpu.config import Modulation
+    from amaranth_twstft_tpu.control import (
+        EmulatedStation,
+        FdTransport,
+        SerialOutCode,
+        StationController,
+        open_serial,
+    )
+
+    master, slave = os.openpty()
+    # master side nonblocking for the station pump
+    fcntl.fcntl(master, fcntl.F_SETFL,
+                fcntl.fcntl(master, fcntl.F_GETFL) | os.O_NONBLOCK)
+
+    class MasterAdapter:
+        def station_read_all(self):
+            try:
+                return os.read(master, 4096)
+            except BlockingIOError:
+                return b""
+
+        def station_write(self, data):
+            os.write(master, data)
+
+    station = EmulatedStation(transport=MasterAdapter())
+    t = open_serial(os.ttyname(slave))  # -> FdTransport (no pyserial)
+    assert isinstance(t, FdTransport)
+    try:
+        ctl = StationController(t, station=station)
+        ctl.set_mode(Modulation.BPSK)
+        station.step()
+        assert station.mode == Modulation.BPSK
+        ctl.set_taps(taps_a=0b1001)
+        station.step()
+        assert station.taps_a == 0b1001
+        ctl.set_time(37)
+        station.step()
+        assert station.time_s == 37
+        # status stream back over the tty
+        station.pps_tick(good=True)
+        seen = []
+        for _ in range(100):
+            b = t.read(1)
+            if b:
+                seen.append(b[0])
+            if seen:
+                break
+        assert seen and seen[0] == SerialOutCode.PPS_GOOD.value
+    finally:
+        t.close()
+        os.close(master)
+        os.close(slave)
