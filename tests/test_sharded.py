@@ -270,3 +270,38 @@ def test_sharded_pipeline_remote_mode(small_cfg, tmp_path):
     assert out["ch2"] is None
     d = float(np.median(out["ch1"]["indice"] + out["ch1"]["correction"])) / 3.0
     assert abs(d - 250.0) < 0.1, d
+
+
+def test_sharded_pipeline_int8_ingest(small_cfg, tmp_path):
+    """int8 transfer mode through the mesh: per-device sharded scales,
+    delays within the measured envelope of the float32 path."""
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.utils import io as uio
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=7,
+    )
+    cap = str(tmp_path / "cap.bin")
+    uio.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True)
+    o32 = pipeline.process_capture_sharded(
+        cap, code, small_cfg, proc, mesh=make_mesh(4, 1), batch_epochs=10,
+        ingest_dtype="float32", out_mat=str(tmp_path / "s32.mat"),
+    )
+    o8 = pipeline.process_capture_sharded(
+        cap, code, small_cfg, proc, mesh=make_mesh(4, 1), batch_epochs=10,
+        ingest_dtype="int8", out_mat=str(tmp_path / "s8.mat"),
+    )
+    d32 = (np.asarray(o32["ch1"]["indice"]) + o32["ch1"]["correction"]) / 3.0
+    d8 = (np.asarray(o8["ch1"]["indice"]) + o8["ch1"]["correction"]) / 3.0
+    assert np.max(np.abs(d8 - d32)) < 3e-3, np.max(np.abs(d8 - d32))
+    assert abs(float(np.median(d8)) - 431.4) < 0.1
