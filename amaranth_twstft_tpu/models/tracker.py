@@ -585,6 +585,11 @@ class BankedReceiver:
             ],
             dtype=np.int32,
         )
+        # device-resident constants: wav_ext is ~96 MB at production
+        # geometry - re-shipping it every second would consume the whole
+        # per-second budget at tunnel link rates (uploaded lazily on
+        # first use so CPU-only construction stays cheap)
+        self._dev_const: dict | None = None
         self._step = None
         if self.mesh is not None:
             b = self.bank
@@ -836,11 +841,17 @@ class BankedReceiver:
             ncodes=b.ncodes, nobs=b.nobs, nlag=b.nlag, bps=b.bps,
             fs=self.fs, real_input=self.real_input, group=self.group,
         )
+        if self._dev_const is None:
+            self._dev_const = {
+                "wav_ext": jnp.asarray(b.wav_ext),
+                "psbb": jnp.asarray(b.psbb),
+                "buf_idx": jnp.asarray(self._buf_idx),
+            }
         args = (
             jnp.asarray(bufs),
-            jnp.asarray(b.wav_ext),
-            jnp.asarray(b.psbb),
-            jnp.asarray(self._buf_idx),
+            self._dev_const["wav_ext"],
+            self._dev_const["psbb"],
+            self._dev_const["buf_idx"],
             jnp.asarray(pt),
             jnp.asarray(theta),
             jnp.asarray(t1),
