@@ -324,8 +324,10 @@ def per_file_df_ri(
     (one fused program — required on the axon TPU where complex arrays
     cannot cross the program boundary, and eager op-by-op execution
     would).  Accepts float16 input (the fast tunnel transfer format,
-    see ``utils/io.read_sc16_epochs_ri``)."""
-    if x_ri.dtype in (jnp.float16, jnp.bfloat16):
+    see ``utils/io.read_sc16_epochs_ri``) and int8 without a scale —
+    the squaring-spectrum argmax this computes is scale-invariant, so
+    quantized units are as good as volts."""
+    if x_ri.dtype in (jnp.float16, jnp.bfloat16, jnp.int8):
         x_ri = x_ri.astype(jnp.float32)
     x = jax.lax.complex(x_ri[..., 0], x_ri[..., 1])
     return per_file_df(x, fs, decim, foffset_hz, frange_hz, windowed)

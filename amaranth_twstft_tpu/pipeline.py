@@ -32,6 +32,23 @@ F16_PARITY_P99_NS = 0.0007
 I8_PARITY_P99_NS = 0.040
 
 
+def _pack_prepass(x, in_dtype):
+    """Pack a (decimated) complex pre-pass array for the h2d boundary in
+    the run's transfer format.  int8 mode quantizes WITHOUT carrying a
+    scale: the df pre-pass is a squaring-spectrum argmax, which is
+    scale-invariant, so the quantized units feed it directly (halves the
+    pre-pass bytes on the byte-rate-bound tunnel)."""
+    import numpy as np
+
+    from amaranth_twstft_tpu.ops import boundary
+
+    if np.dtype(in_dtype) == np.int8:
+        ri = boundary.pack_complex(x, dtype=np.float32)
+        s = max(float(np.abs(ri).max()), 1.0) / 127.0
+        return np.clip(np.round(ri / s), -127, 127).astype(np.int8)
+    return boundary.pack_complex(x, dtype=in_dtype)
+
+
 def _resolve_ingest_dtype(
     ingest_dtype: str | None, parity_ns: float | None, accel: bool
 ) -> str:
@@ -144,13 +161,10 @@ def process_capture_overlapped(
     dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
     dec = bound_prepass_window(dec)
 
-    # the decimated pre-pass array is tiny: int8 mode packs it as f16
-    pfd_dtype = np.float16 if in_dtype == np.int8 else in_dtype
-
     def _pfd(x, windowed):
         if accel:
             return per_file_df_ri(
-                jnp.asarray(boundary.pack_complex(x, dtype=pfd_dtype)),
+                jnp.asarray(_pack_prepass(x, in_dtype)),
                 signal.fs,
                 proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
             )
@@ -390,7 +404,7 @@ def process_capture_sharded(
     def _pfd(x, windowed):
         if accel:
             return per_file_df_ri(
-                jnp.asarray(boundary.pack_complex(x, dtype=in_dtype)),
+                jnp.asarray(_pack_prepass(x, in_dtype)),
                 signal.fs,
                 proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
             )

@@ -309,6 +309,42 @@ def test_overlapped_int8_ingest(small_cfg, tmp_path):
     assert abs(d1 - 431.4) < 0.1
 
 
+def test_prepass_pack_int8_scale_invariant(small_cfg, tmp_path):
+    """The accelerator df pre-pass in int8 mode quantizes WITHOUT a
+    scale (the squaring-spectrum argmax is scale-invariant); the
+    estimate must match the float32 pre-pass to within a bin.  Also
+    guards the sharded path's former bug of casting floats straight to
+    int8 (overflow garbage) via pack_complex(dtype=int8)."""
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.ops.doppler import (
+        bound_prepass_window,
+        per_file_df_ri,
+    )
+    from amaranth_twstft_tpu.pipeline import _pack_prepass
+
+    meas, _ = synthesize_capture(
+        small_cfg,
+        [ChannelSim(100.0, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(5.0, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=3,
+    )
+    cap = str(tmp_path / "capp.bin")
+    io.write_sc16(cap, meas, meas)
+    decim = 5
+    dec = bound_prepass_window(io.decimate_sc16(cap, decim, channels=2))
+    x = dec[0]
+    p8 = _pack_prepass(x, np.int8)
+    assert p8.dtype == np.int8 and np.abs(p8).max() <= 127
+    df8 = float(per_file_df_ri(jnp.asarray(p8), small_cfg.fs, decim))
+    df32 = float(per_file_df_ri(
+        jnp.asarray(_pack_prepass(x, np.float32)), small_cfg.fs, decim
+    ))
+    bin_hz = small_cfg.fs / decim / len(x)
+    assert abs(df8 - df32) < 2 * bin_hz + 1e-6, (df8, df32)
+    assert abs(df8 - 130.0) < 5.0, df8
+
+
 def test_resolve_ingest_dtype_ladder():
     """parity_ns picks the cheapest format whose measured p99 (x2) fits."""
     from amaranth_twstft_tpu.pipeline import _resolve_ingest_dtype as r
