@@ -156,29 +156,10 @@ def process_capture_overlapped(
     # caller's delay-parity budget (see _resolve_ingest_dtype)
     in_dtype = np.dtype(_resolve_ingest_dtype(ingest_dtype, parity_ns, accel))
 
-    # --- df pre-pass (decimate-by-N whole-file squaring FFT) ----------
-    t0 = time.time()
-    dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
-    dec = bound_prepass_window(dec)
-
-    def _pfd(x, windowed):
-        if accel:
-            return per_file_df_ri(
-                jnp.asarray(_pack_prepass(x, in_dtype)),
-                signal.fs,
-                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
-            )
-        return per_file_df(
-            jnp.asarray(x), signal.fs, proc.df_decimation,
-            foffset_hz=foffset_hz, windowed=windowed,
-        )
-
-    dfs = [float(_pfd(dec[0], True))]
-    if n_chan == 2:
-        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
-    t_df = time.time() - t0
-
     # --- prefetch thread: disk -> packed (C, n, L, 2) batches ----------
+    # (started BEFORE the df pre-pass: the first `prefetch` batches'
+    # disk+convert hide behind the pre-pass h2d/FFT — the loop's first
+    # dispatch then only waits on the link, not the host)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
     stats: dict = {"disk_s": 0.0, "convert_s": 0.0, "bytes_read": 0,
@@ -216,9 +197,32 @@ def process_capture_overlapped(
         q.put(None)
 
     th = threading.Thread(target=reader, daemon=True)
-    t0 = time.time()
     th.start()
 
+    # --- df pre-pass (decimate-by-N whole-file squaring FFT), overlapped
+    # with the reader thread filling its prefetch window ----------------
+    t0 = time.time()
+    dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
+    dec = bound_prepass_window(dec)
+
+    def _pfd(x, windowed):
+        if accel:
+            return per_file_df_ri(
+                jnp.asarray(_pack_prepass(x, in_dtype)),
+                signal.fs,
+                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
+            )
+        return per_file_df(
+            jnp.asarray(x), signal.fs, proc.df_decimation,
+            foffset_hz=foffset_hz, windowed=windowed,
+        )
+
+    dfs = [float(_pfd(dec[0], True))]
+    if n_chan == 2:
+        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
+    t_df = time.time() - t0
+
+    t0 = time.time()
     step = boundary.make_ranging_step(
         np.asarray(rep.fcode), np.asarray(rep.code_interp),
         np.ones(L, bool), signal.fs, nint=proc.nint, packed=True,
@@ -394,6 +398,49 @@ def process_capture_sharded(
     accel = boundary.on_accelerator()
     in_dtype = np.dtype(_resolve_ingest_dtype(ingest_dtype, parity_ns, accel))
 
+    total_avail = io.n_samples_sc16(capture_path, channels=2) // L
+
+    stats: dict = {"disk_s": 0.0, "convert_s": 0.0, "bytes_read": 0}
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def reader():
+        start_epoch = 0
+        while start_epoch < total_avail:
+            n_glob = min(B_glob, total_avail - start_epoch)
+            # this process's contiguous slice of the global batch
+            lo = start_epoch + min(pid * B_proc, n_glob)
+            hi = start_epoch + min((pid + 1) * B_proc, n_glob)
+            scale = 1.0
+            if hi <= lo:
+                d, n_loc = np.zeros((0, L, 4), in_dtype), 0
+            elif in_dtype == np.int8:
+                d, n_loc, scale = io.read_sc16_epochs_q8(
+                    capture_path, lo * L, hi - lo, L, channels=2,
+                    timers=stats,
+                )
+            else:
+                d, n_loc = io.read_sc16_epochs_packed(
+                    capture_path, lo * L, hi - lo, L, channels=2,
+                    dtype=in_dtype, timers=stats,
+                )
+            if n_loc < B_proc:
+                # zero-pad to the full local shape (fresh shapes would
+                # recompile); padded rows are dropped on the host
+                d = np.concatenate(
+                    [d[:n_loc],
+                     np.zeros((B_proc - n_loc,) + (L, 2 * 2), in_dtype)],
+                    axis=0,
+                )
+            q.put((d, n_glob, scale))
+            start_epoch += n_glob
+        q.put(None)
+
+    # reader starts BEFORE the df pre-pass so its first prefetch window
+    # of disk+convert hides behind the pre-pass (same overlap as
+    # process_capture_overlapped)
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+
     # --- df pre-pass: decimated whole-file squaring FFT (replicated;
     # every process reads the strided view of its OWN capture copy, or
     # of the shared file — the decimated array is tiny) ----------------
@@ -446,47 +493,7 @@ def process_capture_sharded(
     in_sharding = NamedSharding(mesh, P(axis, None, None))
     dfv = jnp.asarray(df_local)
 
-    total_avail = io.n_samples_sc16(capture_path, channels=2) // L
-
-    stats: dict = {"disk_s": 0.0, "convert_s": 0.0, "bytes_read": 0}
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
-
-    def reader():
-        start_epoch = 0
-        while start_epoch < total_avail:
-            n_glob = min(B_glob, total_avail - start_epoch)
-            # this process's contiguous slice of the global batch
-            lo = start_epoch + min(pid * B_proc, n_glob)
-            hi = start_epoch + min((pid + 1) * B_proc, n_glob)
-            scale = 1.0
-            if hi <= lo:
-                d, n_loc = np.zeros((0, L, 4), in_dtype), 0
-            elif in_dtype == np.int8:
-                d, n_loc, scale = io.read_sc16_epochs_q8(
-                    capture_path, lo * L, hi - lo, L, channels=2,
-                    timers=stats,
-                )
-            else:
-                d, n_loc = io.read_sc16_epochs_packed(
-                    capture_path, lo * L, hi - lo, L, channels=2,
-                    dtype=in_dtype, timers=stats,
-                )
-            if n_loc < B_proc:
-                # zero-pad to the full local shape (fresh shapes would
-                # recompile); padded rows are dropped on the host
-                d = np.concatenate(
-                    [d[:n_loc],
-                     np.zeros((B_proc - n_loc,) + (L, 2 * 2), in_dtype)],
-                    axis=0,
-                )
-            q.put((d, n_glob, scale))
-            start_epoch += n_glob
-        q.put(None)
-
-    th = threading.Thread(target=reader, daemon=True)
     t0 = time.time()
-    th.start()
-
     chans = [ChannelArrays() for _ in range(n_chan)]
     pending: list[tuple] = []
 
