@@ -140,8 +140,13 @@ def _track_one(
     W = jax.vmap(
         lambda s0: jax.lax.dynamic_slice(wav_ext, (s0,), (nobs,))
     )(starts)  # (nlags, nobs); W[l] == roll(wav, l - nlag)
-    re = jnp.einsum("pn,ln->pl", obs_re, W, preferred_element_type=f32)
-    im = jnp.einsum("pn,ln->pl", obs_im, W, preferred_element_type=f32)
+    # precision="highest": the HRC discriminator reads sub-sample code
+    # phase off ratios of these correlation sums; TPU's default 1-pass
+    # bf16 f32-dot would round each product to ~8 mantissa bits
+    re = jnp.einsum("pn,ln->pl", obs_re, W, preferred_element_type=f32,
+                    precision="highest")
+    im = jnp.einsum("pn,ln->pl", obs_im, W, preferred_element_type=f32,
+                    precision="highest")
     power = (0.5 * 4.0 / nobs**2) * (re * re + im * im)
 
     pk_idx = jnp.argmax(power, axis=-1).astype(jnp.int32)

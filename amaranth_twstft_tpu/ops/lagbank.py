@@ -51,10 +51,12 @@ def _kernel(obs_ref, wav_ref, pow_ref, ph_ref, acc_re, acc_im):
 
     wav = wav_ref[...]  # (Kc, NL)
     acc_re[...] += jnp.dot(
-        obs_ref[0], wav, preferred_element_type=jnp.float32
+        obs_ref[0], wav, preferred_element_type=jnp.float32,
+        precision="highest",
     )
     acc_im[...] += jnp.dot(
-        obs_ref[1], wav, preferred_element_type=jnp.float32
+        obs_ref[1], wav, preferred_element_type=jnp.float32,
+        precision="highest",
     )
 
     @pl.when(k == nk - 1)
@@ -124,8 +126,10 @@ def lag_bank_pallas(
 
 @jax.jit
 def _lag_bank_jnp(obs_ri: jax.Array, wav_lags: jax.Array):
-    re = jnp.dot(obs_ri[0], wav_lags, preferred_element_type=jnp.float32)
-    im = jnp.dot(obs_ri[1], wav_lags, preferred_element_type=jnp.float32)
+    re = jnp.dot(obs_ri[0], wav_lags, preferred_element_type=jnp.float32,
+                 precision="highest")
+    im = jnp.dot(obs_ri[1], wav_lags, preferred_element_type=jnp.float32,
+                 precision="highest")
     power = 0.5 * (re * re + im * im)
     phase = jnp.arctan2(-im, re) / (2.0 * jnp.pi)
     return power, phase

@@ -106,15 +106,19 @@ def _ct(x: jax.Array, factors: tuple[int, ...], inverse: bool,
     n = x.shape[-1]
     f = factors[0]
     m = jnp.asarray(_dft_matrix(f, inverse).astype(np_dtype))
+    # precision="highest": TPU f32 dots otherwise run as 1-pass bf16 on
+    # the MXU (~8 mantissa bits per stage) — these stages carry the
+    # spectrum the delay/phase estimates are read from
     if len(factors) == 1:
         return jnp.einsum(
             "...a,ab->...b", x, m,
-            preferred_element_type=x.dtype,
+            preferred_element_type=x.dtype, precision="highest",
         )
     n2 = n // f
     xr = x.reshape(x.shape[:-1] + (f, n2))  # [n1, n2], n = n2*n1_ + n2_
     # DFT over n1 (axis -2): A[k1, n2]
-    a = jnp.einsum("...ab,ad->...db", xr, m, preferred_element_type=x.dtype)
+    a = jnp.einsum("...ab,ad->...db", xr, m, preferred_element_type=x.dtype,
+                   precision="highest")
     tw = jnp.asarray(_twiddle(f, n2, inverse).astype(np_dtype))
     a = a * tw
     # remaining transform over n2 (last axis) for each k1

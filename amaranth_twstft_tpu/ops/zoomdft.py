@@ -149,7 +149,12 @@ def fine_window(
     er = ematrix_ri[..., 0].astype(real_dtype)
     ei = ematrix_ri[..., 1].astype(real_dtype)
     # (..., L) @ (L, W) on the MXU; complex via 4 real contractions.
-    dot = lambda a, b: jnp.matmul(a, b, preferred_element_type=real_dtype)
+    # precision="highest": these sums ARE the interpolated peak values
+    # the parabola reads — 1-pass bf16 (the TPU f32 default) would add
+    # ~1e-4-sample correction noise invisible to the CPU-f32 studies.
+    dot = lambda a, b: jnp.matmul(
+        a, b, preferred_element_type=real_dtype, precision="highest"
+    )
     out = jax.lax.complex(dot(zr, er) - dot(zi, ei), dot(zr, ei) + dot(zi, er))
     base = jnp.mod(R * center_coarse - W // 2, M)
     return out / M, base
