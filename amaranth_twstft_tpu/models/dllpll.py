@@ -203,6 +203,39 @@ def build_channel(cfg: ChannelConfig, fs: float) -> Channel:
     )
 
 
+#: Bump when the replica math changes — invalidates the disk bank cache.
+_BANK_CACHE_VERSION = 1
+
+
+def _bank_cache_key(cfgs: list[ChannelConfig], fs: float) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"v{_BANK_CACHE_VERSION}|fs={fs!r}".encode())
+    for c in cfgs:
+        h.update(
+            f"|{c.bit_len},{c.code_len},{c.chip_rate!r},{int(c.taps)},"
+            f"{c.filter_hz!r}".encode()
+        )
+    return h.hexdigest()[:24]
+
+
+def _bank_cache_dir() -> str | None:
+    """Disk cache location for built replica banks; '' disables.
+
+    The reference rebuilds its (up to) 120 channels from sdr.param at
+    every startup (``rxcomplex.cpp:257-455``) — under the cron schedule
+    (every 2 h, ``acquisition/crontab``) that cost recurs forever.  The
+    replica arrays are a pure function of (geometry, taps, filter, fs),
+    so they cache across processes."""
+    import os as _os
+
+    d = _os.environ.get("TWSTFT_BANK_CACHE")
+    if d == "":
+        return None
+    return d or _os.path.expanduser("~/.cache/twstft_banks")
+
+
 def build_channels_batch(cfgs: list[ChannelConfig], fs: float) -> list[Channel]:
     """Vectorized :func:`build_channel` for a whole receiver bank.
 
@@ -232,6 +265,43 @@ def build_channels_batch(cfgs: list[ChannelConfig], fs: float) -> list[Channel]:
     for i, cfg in enumerate(cfgs):
         sps = int(round(fs / cfg.chip_rate))
         groups.setdefault((cfg.bit_len, cfg.code_len, sps), []).append(i)
+
+    # disk cache (homogeneous-geometry banks only — the 120-channel
+    # production case): loading ~300 MB of arrays beats ~6 s of LFSR
+    # walks + batched FFTs on the 2-core acquisition host
+    cache_path = None
+    if len(groups) == 1 and len(cfgs) >= 8:
+        cdir = _bank_cache_dir()
+        if cdir:
+            import os as _os
+
+            _os.makedirs(cdir, exist_ok=True)
+            cache_path = _os.path.join(
+                cdir, _bank_cache_key(cfgs, fs) + ".npz"
+            )
+            try:
+                with np.load(cache_path) as z:
+                    wav_all = z["wav"]
+                    fc_ri = z["fcode_ri"]
+                    psbb_all = z["psbb"]
+                    chips_all = z["chips"]
+                    sps_c = int(z["sps"])
+                return [
+                    Channel(
+                        cfg=cfgs[i],
+                        nobs=wav_all.shape[1],
+                        wav=wav_all[i],
+                        fcode=(fc_ri[i, :, 0] + 1j * fc_ri[i, :, 1]).astype(
+                            np.complex64
+                        ),
+                        psbb=float(psbb_all[i]),
+                        chips=chips_all[i],
+                        sps_per_chip=sps_c,
+                    )
+                    for i in range(len(cfgs))
+                ]
+            except (OSError, KeyError, ValueError):
+                pass  # miss or corrupt entry: rebuild (and overwrite)
     for (bit_len, code_len, sps), idxs in groups.items():
         taps_arr = np.array([cfgs[i].taps for i in idxs], dtype=np.uint64)
         uniq, inv = np.unique(taps_arr, return_inverse=True)
@@ -281,6 +351,35 @@ def build_channels_batch(cfgs: list[ChannelConfig], fs: float) -> list[Channel]:
                 chips=chips_u[inv[row]],
                 sps_per_chip=sps,
             )
+    if cache_path is not None:
+        try:
+            import os as _os
+
+            built = [c for c in out if c is not None]
+            fc = np.stack([c.fcode for c in built])
+            tmp = cache_path + f".tmp{_os.getpid()}"
+            np.savez(
+                tmp,
+                wav=np.stack([c.wav for c in built]),
+                fcode_ri=np.stack([fc.real, fc.imag], axis=-1).astype(
+                    np.float32
+                ),
+                psbb=np.array([c.psbb for c in built]),
+                chips=np.stack([c.chips for c in built]),
+                sps=built[0].sps_per_chip,
+            )
+            _os.replace(tmp + ".npz", cache_path)
+            # keep the cache bounded (entries are ~300 MB at production
+            # geometry): evict oldest beyond 4
+            d = _os.path.dirname(cache_path)
+            ent = sorted(
+                (p for p in _os.listdir(d) if p.endswith(".npz")),
+                key=lambda p: _os.path.getmtime(_os.path.join(d, p)),
+            )
+            for p in ent[:-4]:
+                _os.remove(_os.path.join(d, p))
+        except OSError:
+            pass  # cache write is best-effort
     return out  # type: ignore[return-value]
 
 

@@ -17,6 +17,10 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_ENABLE_X64"] = "true"
+# Disable the on-disk replica-bank cache ("" = off): tests build many
+# distinct banks and would otherwise litter ~/.cache with ~300 MB entries
+# (the dedicated cache test overrides this with a tmp dir).
+os.environ["TWSTFT_BANK_CACHE"] = ""
 
 import jax  # noqa: E402
 

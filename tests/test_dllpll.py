@@ -186,3 +186,43 @@ def test_build_channels_batch_matches_build_channel(small_cfg):
         np.testing.assert_allclose(ch.fcode, ref.fcode, atol=2e-2)
         assert np.array_equal(ch.chips, ref.chips)
         assert np.array_equal(ch.code_interp, ref.code_interp)
+
+
+def test_bank_disk_cache_roundtrip(small_cfg, tmp_path, monkeypatch):
+    """The on-disk replica-bank cache returns the built arrays exactly
+    (wav/chips bit-identical, fcode/psbb to storage roundoff) and the
+    prn_id/physical metadata follows the CALLER's cfgs, not the cached
+    ones (array identity is keyed only on geometry+taps+filter+fs)."""
+    import dataclasses
+
+    import numpy as np
+
+    from amaranth_twstft_tpu.models.dllpll import build_channels_batch
+    from amaranth_twstft_tpu.ops.lfsr import find_mseq_taps
+
+    monkeypatch.setenv("TWSTFT_BANK_CACHE", str(tmp_path))
+    fs = small_cfg.fs
+    taps = find_mseq_taps(small_cfg.bit_len, 8)
+    cfgs = [
+        dataclasses.replace(
+            small_chan(int(taps[i])), prn_id=50 + i,
+            physical="A" if i % 2 == 0 else "B",
+        )
+        for i in range(8)
+    ]
+    a = build_channels_batch(cfgs, fs)
+    assert any(p.suffix == ".npz" for p in tmp_path.iterdir())
+    # second call loads from disk; different metadata, same arrays
+    cfgs2 = [dataclasses.replace(c, prn_id=c.prn_id + 100) for c in cfgs]
+    b = build_channels_batch(cfgs2, fs)
+    for x, y in zip(a, b):
+        assert y.cfg.prn_id == x.cfg.prn_id + 100
+        assert np.array_equal(x.wav, y.wav)
+        assert np.array_equal(x.chips, y.chips)
+        np.testing.assert_allclose(x.fcode, y.fcode, atol=1e-4)
+        assert abs(x.psbb - y.psbb) < 1e-9
+    # a corrupt cache entry falls back to a rebuild
+    for p in tmp_path.iterdir():
+        p.write_bytes(b"garbage")
+    c = build_channels_batch(cfgs, fs)
+    np.testing.assert_allclose(a[0].wav, c[0].wav, atol=2e-5)
