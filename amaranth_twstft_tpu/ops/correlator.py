@@ -243,7 +243,9 @@ def correlate_epochs(
         puis_code = jnp.real(mu) ** 2 + jnp.imag(mu) ** 2
         puis_noise = var
     else:
-        zeros = jnp.zeros(indice.shape, dtype=mag.dtype)
+        # (dtype from the correction, not `mag` — the fast path never
+        # materializes the full magnitude map)
+        zeros = jnp.zeros(indice.shape, dtype=correction.dtype)
         snr_r = snr_i = puis_code = puis_noise = zeros
 
     return EpochResult(

@@ -516,10 +516,17 @@ def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
         caps[site] = cap
     synth_s = time.time() - t0
 
-    # both sites' chains (ch1 = remote/measurement, ch2 = loopback)
+    # both sites' chains (ch1 = remote/measurement, ch2 = loopback).
+    # nint=4 (9x interpolation grid): the reference's 3x parabola carries
+    # a +/-368 ps S-curve bias at unlucky fractional delays (its own
+    # interpolation study, experiments/221127_SNR/interpolation_effect.m);
+    # the finer grid cuts that to <14 ps at the same fine-window cost
+    # (PARITY.md deviation 11)
     t0 = time.time()
     outs = {}
-    proc = ProcessingConfig(hamming_window=True)
+    nint = 4
+    R = 2 * nint + 1
+    proc = ProcessingConfig(hamming_window=True, nint=nint)
     for site, cap in caps.items():
         outs[site] = pipeline.process_capture_overlapped(
             cap, code_path, cfg, proc, batch_epochs=50,
@@ -542,14 +549,14 @@ def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
                             ("ch1", f"remoteclaudio{ts[site]}_1.mat")):
             ch = o[chkey]
             raw = os.path.join(ddir, name)
-            # goranging indexes on the 3x-interpolated grid; claudio
+            # goranging indexes on the interpolated grid; claudio
             # archives keep indice on the fs grid with the remainder
             # folded into the correction (delay identity preserved)
             ind3 = np.asarray(ch["indice"])
             cor3 = np.asarray(ch["correction"])
             matio.save_claudio_style(
                 raw,
-                dict(indice=ind3 // 3, correction=(ind3 % 3) + cor3,
+                dict(indice=ind3 // R, correction=(ind3 % R) + cor3,
                      snr_r=ch["snr_r"], snr_i=ch["snr_i"],
                      df=np.full(len(ind3), o["df"][0]),
                      puissance=ch["puissance"], xval=ch["xval"]),
@@ -563,7 +570,7 @@ def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
     shutil.rmtree(tw_out, ignore_errors=True)
     os.makedirs(tw_out)
     res = go1s.process_sessions(
-        op_dir, lt_dir, tw_out, fs=cfg.fs,
+        op_dir, lt_dir, tw_out, fs=cfg.fs, nint=nint,
         policy=GatingPolicy(codes_per_second=25), write_summary=False,
     )
     solve_s = time.time() - t0

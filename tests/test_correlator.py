@@ -159,3 +159,41 @@ def test_float32_delay_close_to_float64(small_cfg, capture):
     d64 = np.asarray(delay_seconds(r64, cfg.fs, 3)) * cfg.fs
     d32v = np.asarray(delay_seconds(r32, cfg.fs, 3)) * cfg.fs
     assert np.max(np.abs(d64 - d32v)) < 5e-3  # samples
+
+
+def test_interp_bias_falls_with_nint(small_cfg):
+    """The parabolic peak estimator's S-curve bias (intrinsic to the
+    reference's 3x interpolation, cf. the reference's own study
+    ``experiments/221127_SNR/interpolation_effect.m``) must fall
+    ~quadratically with the interpolation factor; nint=4 is the
+    beats-the-reference accuracy mode (PARITY.md deviation 11).  Also
+    guards fast=True + compute_snr=False, which once crashed on an
+    undefined magnitude map."""
+    code, fcode, _ = _replica(small_cfg)
+    L = small_cfg.samples_per_code
+    k = np.fft.fftfreq(L)
+    spec = np.fft.fft(np.asarray(code, np.float64))
+
+    def worst_bias(nint):
+        code_i = interp_code(code, 2 * nint + 1)
+        worst = 0.0
+        for frac in np.linspace(0.05, 0.95, 7):
+            d = 100 + frac
+            sig = np.fft.ifft(spec * np.exp(-2j * np.pi * k * d))
+            r = correlate_epochs(
+                jnp.asarray(sig[None]), jnp.asarray(fcode),
+                jnp.asarray([0.0]), jnp.asarray(code_i), small_cfg.fs,
+                nint=nint, compute_snr=False, fast=True,
+            )
+            est = float(
+                np.asarray(r.indice)[0] + np.asarray(r.correction)[0]
+            ) / (2 * nint + 1)
+            worst = max(worst, abs(est - d))
+        return worst  # in samples
+
+    b1, b4 = worst_bias(1), worst_bias(4)
+    # production-geometry measurements: 368 ps -> 13.5 ps (in samples:
+    # 1.8e-3 -> 6.8e-5); allow generous slack for the small geometry
+    assert b1 < 5e-3, b1
+    assert b4 < b1 / 8, (b1, b4)
+    assert b4 < 3e-4, b4
