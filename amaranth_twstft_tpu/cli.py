@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
                         "selects the cheapest transfer format whose "
                         "measured p99 error fits (>=0.08 -> int8, "
                         ">=0.0014 -> float16, else float32)")
+    p.add_argument("--nint", type=int, default=1,
+                   help="interpolation half-factor (grid = 2*nint+1); 1 "
+                        "matches the reference's 3x grid (+-368 ps "
+                        "intrinsic parabola bias), 4 cuts the bias to "
+                        "14 ps at the same cost (PARITY.md deviation 11)")
 
     p = sub.add_parser("claudio", help="per-code aligned tracking chain")
     p.add_argument("capture")
@@ -270,7 +275,7 @@ def _dispatch(args) -> int:
                 args.capture,
                 args.code,
                 _signal(args),
-                ProcessingConfig(hamming_window=True),
+                ProcessingConfig(hamming_window=True, nint=args.nint),
                 remote=args.remote,
                 foffset_hz=args.foffset,
                 ingest_dtype="float32" if args.f64 else None,
@@ -299,7 +304,7 @@ def _dispatch(args) -> int:
                 args.capture,
                 args.code,
                 _signal(args),
-                ProcessingConfig(hamming_window=True),
+                ProcessingConfig(hamming_window=True, nint=args.nint),
                 remote=args.remote,
                 foffset_hz=args.foffset,
                 ingest_dtype=ingest,
@@ -309,10 +314,13 @@ def _dispatch(args) -> int:
         else:
             from amaranth_twstft_tpu.models import goranging
 
+            from amaranth_twstft_tpu.config import ProcessingConfig
+
             out = goranging.process_file(
                 args.capture,
                 args.code,
                 _signal(args),
+                ProcessingConfig(hamming_window=True, nint=args.nint),
                 remote=args.remote,
                 foffset_hz=args.foffset,
                 dtype=jnp.complex128 if args.f64 else jnp.complex64,
