@@ -206,16 +206,6 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     log(f"synthesized {n_seconds}s capture "
         f"({os.path.getsize(cap)/1e9:.2f} GB) in {time.time()-t0:.1f} s")
 
-    # contention-free host ingest rate (disk read + int8 quantize, no
-    # loop running): the per-host term of the v5e-16 model — the IN-loop
-    # disk_s/convert_s timers run concurrently with the fetch-blocked
-    # main thread on a 2-core host and over-report by 3-5x
-    L = cfg.samples_per_code
-    t0 = time.time()
-    _, n_probe, _ = _io.read_sc16_epochs_q8(cap, 0, 250, L, channels=2)
-    host_ingest_mbps = n_probe * L * 8 / (time.time() - t0) / 1e6
-    log(f"host ingest (standalone, 10 s slice): {host_ingest_mbps:.0f} MB/s")
-
     # short capture for the alternate-format sweeps: they exist to quote
     # per-mode throughput, and a bad-weather f32 run on the full capture
     # once ate 10 min of the bench (f32 ships 4x the int8 bytes)
@@ -240,6 +230,18 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     cold = time.time() - t0
     log(f"end-to-end cold (incl. compiles): {cold:.1f} s  "
         f"{_stage_summary(out['timing'])}")
+
+    # contention-free host ingest rate (disk read + int8 quantize, no
+    # loop running): the per-host term of the v5e-16 model.  Measured
+    # AFTER the cold run — right after synthesis the 2.4 GB of dirty
+    # pages are still flushing and steal the IO (measured 178 vs
+    # ~700 MB/s); the in-loop timers instead share the 2-core host with
+    # the fetch-blocked main thread and over-report 3-5x.
+    L = cfg.samples_per_code
+    t0 = time.time()
+    _, n_probe, _ = _io.read_sc16_epochs_q8(cap, 0, 250, L, channels=2)
+    host_ingest_mbps = n_probe * L * 8 / (time.time() - t0) / 1e6
+    log(f"host ingest (standalone, 10 s slice): {host_ingest_mbps:.0f} MB/s")
     # Median of >=3 warm runs with the link rate measured per run: the
     # tunnel's throughput swings ~100x over minutes (shared link), so a
     # best-of headline would be substantially luck; the per-run
