@@ -147,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
                         "(rxcomplex.cpp:724,736-753)")
     p.add_argument("--real", action="store_true",
                    help="rx.cpp real-sample mode (non-IQ capture)")
+    p.add_argument("--follow", action="store_true",
+                   help="tail a GROWING capture, processing each second "
+                        "as it completes — the reference receiver's live "
+                        "mode (rxcomplex.cpp reads the stream as the SDR "
+                        "writes it); stops after --idle-timeout without "
+                        "growth")
+    p.add_argument("--idle-timeout", type=float, default=10.0,
+                   help="--follow: seconds without file growth = end of "
+                        "acquisition")
     p.add_argument("--group", type=int, default=8,
                    help="banked lax.map group size")
     # the reference derives code geometry from an internal PRN table
@@ -457,12 +466,23 @@ def _dispatch(args) -> int:
                     file=sys.stderr,
                 )
             rx = Receiver(chans, fs=args.fs)
+        import time as _time
+
         fs = int(args.fs)
-        total = io.n_samples_sc16(args.capture, channels=2)
-        n_sec = total // fs - 1
-        if args.seconds:
-            n_sec = min(n_sec, args.seconds)
-        for s in range(n_sec):
+        s = 0
+        idle = 0.0
+        while True:
+            total = io.n_samples_sc16(args.capture, channels=2)
+            avail = total // fs - 1  # each second needs fs+nobs samples
+            if args.seconds and s >= args.seconds:
+                break
+            if s >= avail:
+                if not args.follow or idle >= args.idle_timeout:
+                    break
+                _time.sleep(0.2)
+                idle += 0.2
+                continue
+            idle = 0.0
             d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, 2 * fs,
                                        channels=2)
             if d.shape[1] == 0:
@@ -490,6 +510,7 @@ def _dispatch(args) -> int:
                             "a",
                         ) as f:
                             f.write(rep.row(ch.nobs / args.fs) + "\n")
+            s += 1
         if args.out_dir and not use_bank:
             with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
                 for line in rx.log:
