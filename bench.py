@@ -231,17 +231,21 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     log(f"end-to-end cold (incl. compiles): {cold:.1f} s  "
         f"{_stage_summary(out['timing'])}")
 
-    # contention-free host ingest rate (disk read + int8 quantize, no
-    # loop running): the per-host term of the v5e-16 model.  Measured
-    # AFTER the cold run — right after synthesis the 2.4 GB of dirty
-    # pages are still flushing and steal the IO (measured 178 vs
-    # ~700 MB/s); the in-loop timers instead share the 2-core host with
-    # the fetch-blocked main thread and over-report 3-5x.
+    # contention-free host ingest CAPABILITY (page-cached read + int8
+    # quantize, no loop running): the per-host term of the v5e-16 model.
+    # Best of 3 with the first rep discarded — the first call pays torch
+    # thread-pool/allocator warmup (measured 156 vs 430 MB/s), and a
+    # single-shot measure right after a pipeline run caught stray
+    # runtime work on the 2-core host (46-178 MB/s scatter).
     L = cfg.samples_per_code
-    t0 = time.time()
-    _, n_probe, _ = _io.read_sc16_epochs_q8(cap, 0, 250, L, channels=2)
-    host_ingest_mbps = n_probe * L * 8 / (time.time() - t0) / 1e6
-    log(f"host ingest (standalone, 10 s slice): {host_ingest_mbps:.0f} MB/s")
+    rates = []
+    for _rep in range(3):
+        t0 = time.time()
+        _, n_probe, _ = _io.read_sc16_epochs_q8(cap, 0, 250, L, channels=2)
+        rates.append(n_probe * L * 8 / (time.time() - t0) / 1e6)
+    host_ingest_mbps = max(rates[1:])
+    log(f"host ingest (standalone, 10 s slice): {host_ingest_mbps:.0f} MB/s "
+        f"(reps {[round(r) for r in rates]})")
     # Median of >=3 warm runs with the link rate measured per run: the
     # tunnel's throughput swings ~100x over minutes (shared link), so a
     # best-of headline would be substantially luck; the per-run
