@@ -242,6 +242,48 @@ def test_sharded_pipeline_matches_single_device(small_cfg, tmp_path):
     assert abs(d1 - 431.4) < 0.1 and abs(d2 - 12.75) < 0.1, (d1, d2)
 
 
+def test_sharded_pipeline_nint4_accuracy_mode(small_cfg, tmp_path):
+    """Shard invariance extends to the nint=4 fine-grid accuracy mode
+    (PARITY deviation 11): the 8-device mesh agrees with the single
+    device path on the 9x-interpolated delay index, and the recovered
+    fractional delay is within the mode's sub-sample bias envelope."""
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.utils import io as uio
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.37, 130.0, amplitude=1200, noise_sigma=120),
+         ChannelSim(12.81, 5.0, amplitude=2000, noise_sigma=80)],
+        n_seconds=2, seed=11,
+    )
+    cap = str(tmp_path / "cap4.bin")
+    uio.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True, nint=4)
+
+    single = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, batch_epochs=20,
+        out_mat=str(tmp_path / "s1.mat"),
+    )
+    out8 = pipeline.process_capture_sharded(
+        cap, code, small_cfg, proc, mesh=make_mesh(8, 1), batch_epochs=10,
+        out_mat=str(tmp_path / "s8.mat"),
+    )
+    for c in ("ch1", "ch2"):
+        np.testing.assert_array_equal(single[c]["indice"], out8[c]["indice"])
+        np.testing.assert_allclose(
+            single[c]["correction"], out8[c]["correction"], atol=2e-5
+        )
+    d1 = float(np.median(out8["ch1"]["indice"] + out8["ch1"]["correction"])) / 9.0
+    # fractional truth recovered well inside one 3x-grid bias envelope
+    assert abs(d1 - 431.37) < 0.02, d1
+
+
 def test_sharded_pipeline_remote_mode(small_cfg, tmp_path):
     """remote=True processes only the measurement channel (GoRanging's
     single-channel mode, processing/CPP/main.cpp:201-208)."""
