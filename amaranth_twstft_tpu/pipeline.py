@@ -183,10 +183,18 @@ def process_capture_overlapped(
                     capture_path, start, batch_epochs, L, channels=2,
                     dtype=in_dtype, timers=stats,
                 )
+            elif in_dtype == np.int8:
+                # remote/single-channel int8: quantize just channel 1's
+                # columns (half the bytes of the f16 single-channel ship)
+                d, n, scale = io.read_sc16_epochs_q8(
+                    capture_path, start, batch_epochs, L, channels=2,
+                    timers=stats, select=0,
+                )
+                d = d[None]  # (1, n, L, 2) — the channel-major layout
             else:
                 d, n = io.read_sc16_epochs_ri(
                     capture_path, start, batch_epochs, L, channels=2,
-                    dtype=np.float16 if in_dtype == np.int8 else in_dtype,
+                    dtype=in_dtype,
                 )
             if n == 0:
                 break

@@ -191,6 +191,7 @@ def read_sc16_epochs_q8(
     samples_per_epoch: int,
     channels: int = 2,
     timers: dict | None = None,
+    select: int | None = None,
 ):
     """int8-quantized epoch reader: (n, L, 2*channels) int8 + scale.
 
@@ -199,8 +200,11 @@ def read_sc16_epochs_q8(
     ``q = round(x / scale)`` with ``scale = max|x| / 127``; the device
     dequantizes (``ops/boundary._ranging_impl``).  Quantization noise is
     ~-38 dB below the RF noise floor at the -13 dB operating point —
-    measured sub-ps delay impact (``studies.f16_ingest_error_study``,
-    PARITY.md deviation 10).  Returns (q, n_read, scale).
+    measured delay impact p99 10.4 ps on device (PARITY.md deviation
+    10).  ``select=c`` extracts ONE channel's I/Q columns before
+    quantizing -> (n, L, 2) (the remote/single-channel chains,
+    ``processing/CPP/main.cpp`` remote flag).  Returns (q, n_read,
+    scale).
     """
     import time as _time
 
@@ -208,10 +212,14 @@ def read_sc16_epochs_q8(
     total = mm.shape[0]
     n_avail = max(0, (total - start_sample) // samples_per_epoch)
     n = min(n_epochs, n_avail)
+    width = 2 if select is not None else 2 * channels
     if n == 0:
-        return np.zeros((0, samples_per_epoch, 2 * channels), np.int8), 0, 1.0
+        return np.zeros((0, samples_per_epoch, width), np.int8), 0, 1.0
     t0 = _time.perf_counter()
-    raw = np.array(mm[start_sample : start_sample + n * samples_per_epoch])
+    sl = mm[start_sample : start_sample + n * samples_per_epoch]
+    if select is not None:
+        sl = sl[:, 2 * select : 2 * select + 2]
+    raw = np.ascontiguousarray(sl)
     t1 = _time.perf_counter()
     # CHUNKED quantization: a whole-buffer float32 intermediate is 4x the
     # int16 input (4.8 GB per hour-capture batch stream) and measured
@@ -250,7 +258,7 @@ def read_sc16_epochs_q8(
             np.rint(blk, out=blk)
             np.clip(blk, -127, 127, out=blk)
             q[i : i + chunk] = blk.astype(np.int8)
-    out = q.reshape(n, samples_per_epoch, 2 * channels)
+    out = q.reshape(n, samples_per_epoch, width)
     if timers is not None:
         timers["disk_s"] = timers.get("disk_s", 0.0) + (t1 - t0)
         timers["convert_s"] = (

@@ -366,6 +366,37 @@ def test_overlapped_int8_ingest(small_cfg, tmp_path):
     assert abs(d1 - 431.4) < 0.1
 
 
+def test_overlapped_remote_int8_ingest(small_cfg, tmp_path):
+    """Remote (single-channel) mode supports the int8 transfer format:
+    channel 1's columns are extracted and quantized before shipping
+    (half the single-channel f16 bytes), and the delays stay within the
+    measured int8 envelope of the float32 path."""
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=9,
+    )
+    cap = str(tmp_path / "capr.bin")
+    io.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True)
+    o32 = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, remote=True, batch_epochs=20,
+        ingest_dtype="float32", out_mat=str(tmp_path / "r32.mat"),
+    )
+    o8 = pipeline.process_capture_overlapped(
+        cap, code, small_cfg, proc, remote=True, batch_epochs=20,
+        ingest_dtype="int8", out_mat=str(tmp_path / "r8.mat"),
+    )
+    assert o8["ch2"] is None and o32["ch2"] is None
+    d32 = (np.asarray(o32["ch1"]["indice"]) + o32["ch1"]["correction"]) / 3.0
+    d8 = (np.asarray(o8["ch1"]["indice"]) + o8["ch1"]["correction"]) / 3.0
+    assert np.max(np.abs(d8 - d32)) < 3e-3, np.max(np.abs(d8 - d32))
+    assert abs(float(np.median(d8)) - 431.4) < 0.1
+
+
 def test_prepass_pack_int8_scale_invariant(small_cfg, tmp_path):
     """The accelerator df pre-pass in int8 mode quantizes WITHOUT a
     scale (the squaring-spectrum argmax is scale-invariant); the
