@@ -219,7 +219,10 @@ def read_sc16_epochs_q8(
     sl = mm[start_sample : start_sample + n * samples_per_epoch]
     if select is not None:
         sl = sl[:, 2 * select : 2 * select + 2]
-    raw = np.ascontiguousarray(sl)
+    # np.array (not ascontiguousarray): always copy out of the read-only
+    # memmap so torch gets a writable buffer and the page-in cost stays
+    # attributed to disk_s
+    raw = np.array(sl)
     t1 = _time.perf_counter()
     # CHUNKED quantization: a whole-buffer float32 intermediate is 4x the
     # int16 input (4.8 GB per hour-capture batch stream) and measured
