@@ -448,23 +448,27 @@ def _dispatch(args) -> int:
              c.codes_per_second, c.nlag)
             for c in chans
         }
-        use_bank = not args.host and len(geoms) == 1
+        use_bank = not args.host
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
         if use_bank:
-            from amaranth_twstft_tpu.models.tracker import BankedReceiver
+            from amaranth_twstft_tpu.models.tracker import (
+                BankedReceiver,
+                MultiBankReceiver,
+            )
 
-            rx = BankedReceiver(
+            cls = BankedReceiver if len(geoms) == 1 else MultiBankReceiver
+            if len(geoms) > 1:
+                print(
+                    f"{len(geoms)} channel geometries: one banked "
+                    "program per group (MultiBankReceiver)",
+                    file=sys.stderr,
+                )
+            rx = cls(
                 chans, fs=args.fs, group=args.group,
                 real_input=args.real, out_dir=args.out_dir,
             )
         else:
-            if not args.host:
-                print(
-                    f"heterogeneous channel geometry {geoms}: using the "
-                    "host receiver",
-                    file=sys.stderr,
-                )
             rx = Receiver(chans, fs=args.fs)
         import time as _time
 

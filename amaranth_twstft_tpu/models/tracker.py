@@ -68,6 +68,7 @@ from amaranth_twstft_tpu.ops.peaks import (
 __all__ = [
     "TrackerBank",
     "BankedReceiver",
+    "MultiBankReceiver",
     "banked_track_step",
     "banked_acquire_step",
     "unpack_track_outputs",
@@ -924,3 +925,74 @@ class BankedReceiver:
         if self.out_dir:
             with open(os.path.join(self.out_dir, "rxcomplex.log"), "a") as f:
                 f.write(line + "\n")
+
+
+class MultiBankReceiver:
+    """Heterogeneous-geometry receiver: one banked program per geometry.
+
+    The banked receiver requires homogeneous (nobs, codes/s, nlag)
+    geometry because the lag-bank and phase-table shapes are static per
+    program.  ``sdr.param`` permits per-channel chip rates and filter
+    settings (``rxcomplex.cpp:272-285``), so a mixed configuration is
+    legal; here the channels partition into homogeneous GROUPS, each
+    tracked by its own :class:`BankedReceiver` — k jitted programs per
+    second for k geometries instead of a per-channel host loop.
+
+    Reports, ``channels`` and ``log`` present in the caller's original
+    channel order.  Limitation: SIC reconstruction only sees channels
+    within the same group (cross-group MAI cancellation would couple
+    the groups' state; the reference's SIC block is single-geometry in
+    practice, ``rxcomplex.cpp:506-520``).
+    """
+
+    def __init__(
+        self,
+        channels: list[ChannelConfig],
+        fs: float = 5e6,
+        **kw,
+    ):
+        self.fs = fs
+        groups: dict[tuple, list[int]] = {}
+        for i, c in enumerate(channels):
+            sps = int(round(fs / c.chip_rate))
+            key = (c.code_len * sps, c.codes_per_second, c.nlag)
+            groups.setdefault(key, []).append(i)
+        self.n_channels = len(channels)
+        self._order: list[list[int]] = []
+        self.receivers: list[BankedReceiver] = []
+        for idxs in groups.values():
+            self._order.append(idxs)
+            self.receivers.append(
+                BankedReceiver([channels[i] for i in idxs], fs=fs, **kw)
+            )
+
+    @property
+    def channels(self):
+        out = [None] * self.n_channels
+        for idxs, rx in zip(self._order, self.receivers):
+            for j, i in enumerate(idxs):
+                out[i] = rx.channels[j]
+        return out
+
+    @property
+    def states(self):
+        out = [None] * self.n_channels
+        for idxs, rx in zip(self._order, self.receivers):
+            for j, i in enumerate(idxs):
+                out[i] = rx.states[j]
+        return out
+
+    @property
+    def log(self):
+        out: list[str] = []
+        for rx in self.receivers:
+            out.extend(rx.log)
+        return out
+
+    def process_second(self, iq_by_phys):
+        reports = [None] * self.n_channels
+        for idxs, rx in zip(self._order, self.receivers):
+            sub = rx.process_second(iq_by_phys)
+            for j, i in enumerate(idxs):
+                reports[i] = sub[j]
+        return reports

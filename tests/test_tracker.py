@@ -279,3 +279,29 @@ def test_reload_params_host_receiver(small_cfg):
     # row count change truncates/extends
     assert rx.reload_params("") == [0]
     assert len(rx.channels) == 0
+
+
+def test_multibank_heterogeneous_geometry(small_cfg, two_prn_stream):
+    """MultiBankReceiver: channels with DIFFERENT geometries (here nlag)
+    partition into homogeneous banked groups; reports arrive in the
+    caller's channel order and match the host receiver per channel."""
+    from amaranth_twstft_tpu.models.tracker import MultiBankReceiver
+
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    chans = [
+        small_chan(9, fc=120.0),
+        small_chan(27, fc=-210.0, prn_id=101, nlag=12),  # 2nd geometry
+    ]
+    host = _run(Receiver(chans, fs=small_cfg.fs), two_prn_stream, fs, L)
+    multi_rx = MultiBankReceiver(chans, fs=small_cfg.fs)
+    assert len(multi_rx.receivers) == 2, "expected two geometry groups"
+    multi = _run(multi_rx, two_prn_stream, fs, L)
+    # channel order preserved despite the group partition
+    assert [c.cfg.prn_id for c in multi_rx.channels] == [100, 101]
+    for c in range(2):
+        rh, rm = host[3][c], multi[3][c]
+        assert rh is not None and rm is not None, (c, rh, rm)
+        assert rm.locked and rh.locked
+        assert abs(rm.fc_hz - rh.fc_hz) < 1e-3
+        assert abs(rm.gd_ns - rh.gd_ns) < 1.0
+    assert any("acquisition" in ln for ln in multi_rx.log)
