@@ -238,8 +238,9 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     # single-shot measure right after a pipeline run caught stray
     # runtime work on the 2-core host (46-178 MB/s scatter).
     L = cfg.samples_per_code
+    time.sleep(1.0)  # let the cold run's runtime threads settle
     rates = []
-    for _rep in range(3):
+    for _rep in range(5):
         t0 = time.time()
         _, n_probe, _ = _io.read_sc16_epochs_q8(cap, 0, 250, L, channels=2)
         rates.append(n_probe * L * 8 / (time.time() - t0) / 1e6)
