@@ -97,3 +97,36 @@ def test_native_mat_reload_through_loader(tmp_path, rng):
     back = matio.load_result(p)
     np.testing.assert_allclose(back["solution1"], np.arange(10.0) + 500)
     np.testing.assert_allclose(back["snr1_db"], 12.0)
+
+
+def test_q8_reader_roundtrip_and_select(tmp_path, rng):
+    """int8 epoch reader: exact-scale quantization reconstructs the int16
+    samples to half a step, and select=c extracts exactly channel c's
+    I/Q columns (the remote-mode transfer format)."""
+    from amaranth_twstft_tpu.utils import io
+
+    L, n = 500, 6
+    raw = rng.integers(-1800, 1800, (n * L, 4)).astype(np.int16)
+    p = str(tmp_path / "q8.bin")
+    raw.tofile(p)
+
+    q, m, scale = io.read_sc16_epochs_q8(p, 0, n, L, channels=2)
+    assert m == n and q.shape == (n, L, 4) and q.dtype == np.int8
+    back = q.reshape(n * L, 4).astype(np.float64) * scale
+    assert np.abs(back - raw).max() <= 0.5 * scale + 1e-9
+    # scale is the exact max|x|/127 contract (PARITY deviation 10)
+    assert abs(scale - max(abs(raw).max(), 1) / 127.0) < 1e-12
+
+    for sel in (0, 1):
+        qs, ms, ss = io.read_sc16_epochs_q8(p, 0, n, L, channels=2,
+                                            select=sel)
+        assert ms == n and qs.shape == (n, L, 2)
+        cols = raw[:, 2 * sel : 2 * sel + 2]
+        backs = qs.reshape(n * L, 2).astype(np.float64) * ss
+        assert np.abs(backs - cols).max() <= 0.5 * ss + 1e-9
+        # per-selection scale: quantized over the selected columns only
+        assert abs(ss - max(abs(cols).max(), 1) / 127.0) < 1e-12
+
+    # short tail and empty file behave like the other readers
+    q2, m2, _ = io.read_sc16_epochs_q8(p, (n - 1) * L + 3, 5, L, channels=2)
+    assert m2 == 0 and q2.shape[0] == 0
