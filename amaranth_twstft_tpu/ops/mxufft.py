@@ -106,19 +106,23 @@ def _ct(x: jax.Array, factors: tuple[int, ...], inverse: bool,
     n = x.shape[-1]
     f = factors[0]
     m = jnp.asarray(_dft_matrix(f, inverse).astype(np_dtype))
-    # precision="highest": TPU f32 dots otherwise run as 1-pass bf16 on
-    # the MXU (~8 mantissa bits per stage) — these stages carry the
-    # spectrum the delay/phase estimates are read from
+    # precision="high" (3-pass bf16): TPU f32 dots otherwise run as
+    # 1-pass bf16 (~8 mantissa bits) — measured max rel error of the
+    # full staged transform on v5e: default 6.1e-3, high 3.5e-5,
+    # highest 1.7e-7.  "high" keeps the END-TO-END delay parity at the
+    # measured few-ps level (tools/tpu_parity_probe.py) at half the
+    # MXU passes of "highest"; the peak-value window and lag-bank sums
+    # stay at "highest" (their outputs are read directly as estimates).
     if len(factors) == 1:
         return jnp.einsum(
             "...a,ab->...b", x, m,
-            preferred_element_type=x.dtype, precision="highest",
+            preferred_element_type=x.dtype, precision="high",
         )
     n2 = n // f
     xr = x.reshape(x.shape[:-1] + (f, n2))  # [n1, n2], n = n2*n1_ + n2_
     # DFT over n1 (axis -2): A[k1, n2]
     a = jnp.einsum("...ab,ad->...db", xr, m, preferred_element_type=x.dtype,
-                   precision="highest")
+                   precision="high")
     tw = jnp.asarray(_twiddle(f, n2, inverse).astype(np_dtype))
     a = a * tw
     # remaining transform over n2 (last axis) for each k1
