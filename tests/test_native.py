@@ -110,12 +110,28 @@ def test_q8_reader_roundtrip_and_select(tmp_path, rng):
     p = str(tmp_path / "q8.bin")
     raw.tofile(p)
 
+    import os
+
+    os.environ.pop("TWSTFT_Q8_POW2", None)
     q, m, scale = io.read_sc16_epochs_q8(p, 0, n, L, channels=2)
     assert m == n and q.shape == (n, L, 4) and q.dtype == np.int8
     back = q.reshape(n * L, 4).astype(np.float64) * scale
     assert np.abs(back - raw).max() <= 0.5 * scale + 1e-9
     # scale is the exact max|x|/127 contract (PARITY deviation 10)
     assert abs(scale - max(abs(raw).max(), 1) / 127.0) < 1e-12
+
+    # TWSTFT_Q8_POW2=1: integer-shift path, power-of-2 scale, same
+    # half-step reconstruction bound
+    os.environ["TWSTFT_Q8_POW2"] = "1"
+    try:
+        q2, m2p, s2 = io.read_sc16_epochs_q8(p, 0, n, L, channels=2)
+        assert m2p == n
+        assert s2 == 2.0 ** round(np.log2(s2))  # exact power of two
+        back2 = q2.reshape(n * L, 4).astype(np.float64) * s2
+        assert np.abs(back2 - raw).max() <= 0.5 * s2 + 1e-9
+        assert s2 < 2 * max(abs(raw).max(), 1) / 127.0  # <=2x exact step
+    finally:
+        os.environ.pop("TWSTFT_Q8_POW2", None)
 
     for sel in (0, 1):
         qs, ms, ss = io.read_sc16_epochs_q8(p, 0, n, L, channels=2,
