@@ -37,15 +37,23 @@ HAVE_NATIVE = False
 
 def _build() -> bool:
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        "-o", _SO, *srcs,
+    base = [
+        "g++", "-O3", "-fno-math-errno", "-shared", "-fPIC", "-pthread",
+        "-std=c++17", "-o", _SO, *srcs,
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    # -march=native first: the quantize/deinterleave loops vectorize to
+    # AVX2/AVX-512 where available (the host convert is the binding term
+    # of the capture-hour model; -fno-math-errno lets lrintf lower to
+    # cvtps2dq — measured 770 -> 1235 MB/s); plain -O3 as the portable
+    # fallback
+    for extra in (["-march=native"], []):
+        cmd = base[:1] + extra + base[1:]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def load():
@@ -77,6 +85,18 @@ def load():
         lib.twstft_ingest_decimated.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
+        lib.twstft_quantize_q8.restype = ctypes.c_int64
+        lib.twstft_quantize_q8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.twstft_read_raw16.restype = ctypes.c_int64
+        lib.twstft_read_raw16.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
         ]
         lib.twstft_write_sc16.restype = ctypes.c_int64
         lib.twstft_write_sc16.argtypes = [
@@ -208,6 +228,98 @@ def ingest_decimated(path: str, decim: int, channels: int = 2):
     out[..., 0] = z.real
     out[..., 1] = z.imag
     return out
+
+
+def quantize_q8(
+    path: str,
+    start_frame: int,
+    n_frames: int,
+    channels: int = 2,
+    select: int = -1,
+    pow2: bool = False,
+    n_threads: int = 0,
+    decim: int = 0,
+):
+    """Threaded native int8 quantization of an sc16 frame range.
+
+    Returns ``(q, n, scale[, dec])``: ``q`` is int8 of shape
+    ``(n, width)`` with ``width = 2*channels`` (or 2 with ``select``),
+    bit-for-bit identical to ``utils/io.read_sc16_epochs_q8``'s Python
+    paths.  ``decim > 0`` also returns every decim-th frame as float32
+    ``(m, width)`` — the df pre-pass read fused into the quantize pass.
+    Raises RuntimeError when the native library is unavailable (callers
+    fall back to the Python path).
+    """
+    lib = load()
+    if not lib:
+        raise RuntimeError("native library unavailable")
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 2, 8)
+    width = 2 if select >= 0 else 2 * channels
+    q = np.empty((n_frames, width), dtype=np.int8)
+    scale = ctypes.c_double(1.0)
+    dec_n = ctypes.c_int64(0)
+    if decim > 0:
+        m_cap = (n_frames + decim - 1) // decim
+        dec = np.empty((m_cap, width), dtype=np.float32)
+        dec_ptr = dec.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        dec = None
+        dec_ptr = ctypes.POINTER(ctypes.c_float)()
+    n = int(
+        lib.twstft_quantize_q8(
+            path.encode(), channels, start_frame, n_frames,
+            select, 1 if pow2 else 0,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.byref(scale), n_threads, decim, dec_ptr,
+            ctypes.byref(dec_n),
+        )
+    )
+    if n < 0:
+        raise OSError(f"quantize failed: {path}")
+    if decim > 0:
+        return q[:n], n, float(scale.value), dec[: int(dec_n.value)]
+    return q[:n], n, float(scale.value)
+
+
+def read_raw16(
+    path: str,
+    start_frame: int,
+    n_frames: int,
+    channels: int = 2,
+    select: int = -1,
+    n_threads: int = 0,
+):
+    """Raw int16 frame-range copy (the sc16 ship-the-wire-format ingest).
+
+    Returns ``(a, n)`` with ``a`` int16 of shape ``(n, width)``.  NumPy
+    memmap fallback when the native library is unavailable.
+    """
+    lib = load()
+    width = 2 if select >= 0 else 2 * channels
+    if lib:
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 2, 8)
+        a = np.empty((n_frames, width), dtype=np.int16)
+        n = int(
+            lib.twstft_read_raw16(
+                path.encode(), channels, start_frame, n_frames, select,
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n_threads,
+            )
+        )
+        if n < 0:
+            raise OSError(f"raw16 read failed: {path}")
+        return a[:n], n
+    from amaranth_twstft_tpu.utils import io
+
+    mm = io.open_sc16(path, channels)
+    total = mm.shape[0]
+    avail = max(0, total - start_frame)
+    n = min(n_frames, avail)
+    sl = mm[start_frame : start_frame + n]
+    if select >= 0:
+        sl = sl[:, 2 * select : 2 * select + 2]
+    return np.array(sl), n
 
 
 def write_sc16(path: str, *channels_ri: np.ndarray) -> int:

@@ -127,6 +127,12 @@ def _ranging_impl(
     """
     if iq.dtype == jnp.int8:
         iq = iq.astype(jnp.float32) * scale.astype(jnp.float32)
+    elif iq.dtype == jnp.int16:
+        # sc16 wire format shipped raw ("ship the bytes, dequant on
+        # device"): the cast is exact for every int16, so this mode is
+        # bit-identical to float32 ingest at HALF the transfer bytes
+        # and ZERO host conversion (utils/io.read_sc16_epochs_raw16)
+        iq = iq.astype(jnp.float32)
     elif iq.dtype in (jnp.float16, jnp.bfloat16):
         iq = iq.astype(jnp.float32)
     if iq.shape[-1] == 4:

@@ -327,7 +327,7 @@ def per_file_df_ri(
     see ``utils/io.read_sc16_epochs_ri``) and int8 without a scale —
     the squaring-spectrum argmax this computes is scale-invariant, so
     quantized units are as good as volts."""
-    if x_ri.dtype in (jnp.float16, jnp.bfloat16, jnp.int8):
+    if x_ri.dtype in (jnp.float16, jnp.bfloat16, jnp.int8, jnp.int16):
         x_ri = x_ri.astype(jnp.float32)
     x = jax.lax.complex(x_ri[..., 0], x_ri[..., 1])
     return per_file_df(x, fs, decim, foffset_hz, frange_hz, windowed)

@@ -37,7 +37,8 @@ def _pack_prepass(x, in_dtype):
     the run's transfer format.  int8 mode quantizes WITHOUT carrying a
     scale: the df pre-pass is a squaring-spectrum argmax, which is
     scale-invariant, so the quantized units feed it directly (halves the
-    pre-pass bytes on the byte-rate-bound tunnel)."""
+    pre-pass bytes on the byte-rate-bound tunnel).  int16 packs the sc16
+    samples verbatim (they are int16-valued by construction)."""
     import numpy as np
 
     from amaranth_twstft_tpu.ops import boundary
@@ -58,25 +59,25 @@ def _resolve_ingest_dtype(
     oracle; the cheapest transfer format whose MEASURED p99 error (with a
     2x safety factor) fits the budget is selected:
 
-    - budget >= 80 ps  -> int8   (half the bytes of f16/sc16; the 0.1 ns
+    - budget >= 80 ps -> int8 (half the bytes of sc16/f16; the 0.1 ns
       north-star budget lands here),
-    - budget >= 1.4 ps -> float16 (sub-picosecond, oracle-equivalent),
-    - below that       -> float32 (bit-exact ingest).
+    - below that      -> int16 (the sc16 wire format shipped raw: zero
+      host conversion, device casts exactly — bit-identical to float32
+      ingest at HALF its bytes).
 
-    Without a budget, accelerators default to the conservative float16
-    and CPU to float32 (bit-identical to the float64 oracle).
+    Without a budget, accelerators default to int16 (bit-exact) and CPU
+    to float32 (the device arrays are host arrays there; nothing ships).
+    ``sc16`` is accepted as an alias for ``int16``; ``float16`` /
+    ``float32`` remain as explicit requests (f16 parity p99 0.69 ps —
+    superseded by int16 which costs the same bytes for zero error).
     """
     if ingest_dtype is not None:
-        return ingest_dtype
+        return "int16" if ingest_dtype == "sc16" else ingest_dtype
     if not accel:
         return "float32"
-    if parity_ns is None:
-        return "float16"
-    if parity_ns >= 2.0 * I8_PARITY_P99_NS:
+    if parity_ns is not None and parity_ns >= 2.0 * I8_PARITY_P99_NS:
         return "int8"
-    if parity_ns >= 2.0 * F16_PARITY_P99_NS:
-        return "float16"
-    return "float32"
+    return "int16"
 
 __all__ = [
     "next_sampling_window",
@@ -176,6 +177,12 @@ def process_capture_overlapped(
                     capture_path, start, batch_epochs, L, channels=2,
                     timers=stats,
                 )
+            elif n_chan == 2 and in_dtype == np.int16:
+                # raw sc16 ship: zero host convert, device dequant
+                d, n = io.read_sc16_epochs_raw16(
+                    capture_path, start, batch_epochs, L, channels=2,
+                    timers=stats,
+                )
             elif n_chan == 2:
                 # single contiguous conversion, both channels in one
                 # buffer; the device deinterleaves (boundary layer)
@@ -191,6 +198,12 @@ def process_capture_overlapped(
                     timers=stats, select=0,
                 )
                 d = d[None]  # (1, n, L, 2) — the channel-major layout
+            elif in_dtype == np.int16:
+                d, n = io.read_sc16_epochs_raw16(
+                    capture_path, start, batch_epochs, L, channels=2,
+                    timers=stats, select=0,
+                )
+                d = d[None]
             else:
                 d, n = io.read_sc16_epochs_ri(
                     capture_path, start, batch_epochs, L, channels=2,
@@ -423,6 +436,11 @@ def process_capture_sharded(
                 d, n_loc = np.zeros((0, L, 4), in_dtype), 0
             elif in_dtype == np.int8:
                 d, n_loc, scale = io.read_sc16_epochs_q8(
+                    capture_path, lo * L, hi - lo, L, channels=2,
+                    timers=stats,
+                )
+            elif in_dtype == np.int16:
+                d, n_loc = io.read_sc16_epochs_raw16(
                     capture_path, lo * L, hi - lo, L, channels=2,
                     timers=stats,
                 )

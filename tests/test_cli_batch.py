@@ -366,6 +366,56 @@ def test_overlapped_int8_ingest(small_cfg, tmp_path):
     assert abs(d1 - 431.4) < 0.1
 
 
+def test_overlapped_sc16_ingest_bit_identical(small_cfg, tmp_path):
+    """ingest_dtype="sc16"/"int16" (raw wire-format ship, device-side
+    dequant): numerically identical to float32 ingest — the int16 -> f32
+    cast is exact for every sc16 sample — at half the transfer bytes and
+    zero host conversion (VERDICT r03 item 1b); dual-channel and remote.
+
+    The comparison allows ulp-level slack on the float outputs only
+    because the CPU backend's threaded matmuls are non-deterministic in
+    reduction order run to run (measured ~5e-7 even f32-vs-f32 on the
+    SAME inputs); the mode itself introduces no error (identical f32
+    inputs reach the device program — asserted exactly in
+    tests/test_native.py::test_raw16_reader)."""
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=11,
+    )
+    cap = str(tmp_path / "cap16.bin")
+    io.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True)
+    for remote in (False, True):
+        o32 = pipeline.process_capture_overlapped(
+            cap, code, small_cfg, proc, remote=remote, batch_epochs=20,
+            ingest_dtype="float32", out_mat=str(tmp_path / "s32.mat"),
+        )
+        o16 = pipeline.process_capture_overlapped(
+            cap, code, small_cfg, proc, remote=remote, batch_epochs=20,
+            ingest_dtype="sc16", out_mat=str(tmp_path / "s16.mat"),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o32["ch1"]["indice"]),
+            np.asarray(o16["ch1"]["indice"]),
+        )
+        for k in ("correction", "snr_r", "puissance"):
+            np.testing.assert_allclose(
+                np.asarray(o32["ch1"][k]), np.asarray(o16["ch1"][k]),
+                rtol=0, atol=2e-5, err_msg=f"{k} (remote={remote})",
+            )
+        if not remote:
+            np.testing.assert_allclose(
+                np.asarray(o32["ch2"]["correction"]),
+                np.asarray(o16["ch2"]["correction"]),
+                rtol=0, atol=2e-5,
+            )
+        assert o32["df"] == o16["df"]
+
+
 def test_overlapped_remote_int8_ingest(small_cfg, tmp_path):
     """Remote (single-channel) mode supports the int8 transfer format:
     channel 1's columns are extracted and quantized before shipping
@@ -438,9 +488,12 @@ def test_resolve_ingest_dtype_ladder():
     from amaranth_twstft_tpu.pipeline import _resolve_ingest_dtype as r
 
     assert r("float16", 0.0, True) == "float16"  # explicit wins
+    assert r("sc16", None, True) == "int16"  # alias for the raw ship
     assert r(None, None, False) == "float32"  # CPU always f32
-    assert r(None, None, True) == "float16"  # no budget: conservative
+    assert r(None, None, True) == "int16"  # no budget: bit-exact raw sc16
     assert r(None, 0.1, True) == "int8"  # the north-star budget
     assert r(None, 1.0, True) == "int8"
-    assert r(None, 0.05, True) == "float16"
-    assert r(None, 0.001, True) == "float32"
+    # below the int8 budget: raw sc16 (bit-identical to f32 ingest at
+    # half the bytes) regardless of how small the budget is
+    assert r(None, 0.05, True) == "int16"
+    assert r(None, 0.001, True) == "int16"
