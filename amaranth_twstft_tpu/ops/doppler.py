@@ -41,6 +41,12 @@ __all__ = [
 ]
 
 
+#: Largest decimated-sample count the df pre-pass consumes
+#: (:func:`bound_prepass_window` truncates to a power of two <= this);
+#: ingest readers use it to read only the needed capture prefix.
+PREPASS_MAX_SAMPLES = 1 << 21
+
+
 def bound_prepass_window(
     x: np.ndarray, min_keep: int = 1 << 18, max_pow2: int = 21
 ) -> np.ndarray:

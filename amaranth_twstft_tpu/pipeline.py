@@ -223,7 +223,16 @@ def process_capture_overlapped(
     # --- df pre-pass (decimate-by-N whole-file squaring FFT), overlapped
     # with the reader thread filling its prefetch window ----------------
     t0 = time.time()
-    dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
+    from amaranth_twstft_tpu.ops.doppler import PREPASS_MAX_SAMPLES
+
+    # prefix-bounded read: the pre-pass window is capped at
+    # PREPASS_MAX_SAMPLES decimated samples, so only that prefix of the
+    # capture is paged in (constant cost regardless of capture length —
+    # the strided whole-file sweep touched every page of a multi-GB file)
+    dec = io.decimate_sc16(
+        capture_path, proc.df_decimation, channels=2,
+        max_out=PREPASS_MAX_SAMPLES,
+    )
     dec = bound_prepass_window(dec)
 
     def _pfd(x, windowed):
@@ -471,7 +480,16 @@ def process_capture_sharded(
     # every process reads the strided view of its OWN capture copy, or
     # of the shared file — the decimated array is tiny) ----------------
     t0 = time.time()
-    dec = io.decimate_sc16(capture_path, proc.df_decimation, channels=2)
+    from amaranth_twstft_tpu.ops.doppler import PREPASS_MAX_SAMPLES
+
+    # prefix-bounded read: the pre-pass window is capped at
+    # PREPASS_MAX_SAMPLES decimated samples, so only that prefix of the
+    # capture is paged in (constant cost regardless of capture length —
+    # the strided whole-file sweep touched every page of a multi-GB file)
+    dec = io.decimate_sc16(
+        capture_path, proc.df_decimation, channels=2,
+        max_out=PREPASS_MAX_SAMPLES,
+    )
     dec = bound_prepass_window(dec)
 
     def _pfd(x, windowed):

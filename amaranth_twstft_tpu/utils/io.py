@@ -375,16 +375,29 @@ def read_sc16_epochs_raw16(
 
 
 def decimate_sc16(
-    path: str, decim: int, channels: int = 2, dtype=np.complex64
+    path: str,
+    decim: int,
+    channels: int = 2,
+    dtype=np.complex64,
+    max_out: int | None = None,
 ) -> np.ndarray:
     """Every ``decim``-th complex sample of each channel -> (channels, m).
 
     The C++ df pre-pass reads one frame then seeks ``decim-1`` frames
     (``processing/CPP/main.cpp:371-395``); a strided memmap view does the
     same without the 1.2 GB pass.
+
+    ``max_out`` caps the output at the first ``max_out`` decimated
+    samples, reading ONLY that prefix of the file.  The pre-pass
+    consumer truncates to a bounded window anyway
+    (``ops/doppler.bound_prepass_window``); without the cap the strided
+    read still pages in the ENTIRE capture (every 4 KiB page holds
+    wanted frames at decim=25), which is the difference between a
+    constant ~0.4 GB prefix and a 144 GB/hour sweep.
     """
     mm = open_sc16(path, channels)
-    sub = np.asarray(mm[::decim]).astype(np.float32)
+    stop = None if max_out is None else max_out * decim
+    sub = np.asarray(mm[:stop:decim]).astype(np.float32)
     out = np.empty((channels, sub.shape[0]), dtype=dtype)
     for c in range(channels):
         out[c] = sub[:, 2 * c] + 1j * sub[:, 2 * c + 1]

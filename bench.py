@@ -191,6 +191,51 @@ def _stage_summary(t: dict) -> str:
     return " ".join(f"{k}={t[k]}" for k in keys if k in t)
 
 
+def measure_host_ingest(cap: str, L: int, max_reps: int = 12) -> dict:
+    """Converged standalone host-ingest rates over a 10 s capture slice.
+
+    For each mode, repeat until the three FASTEST reps agree within 20%
+    (spread = (max-min)/median of the top-3) or ``max_reps`` is hit;
+    the reported rate is the median of the top-3 — slow outliers are
+    other tenants of the shared 2-core host, fast outliers cannot exceed
+    the code's real capability, so the top-of-distribution median is the
+    machine's contention-free rate (VERDICT r03 item 2)."""
+    from amaranth_twstft_tpu import native as _native
+    from amaranth_twstft_tpu.utils import io as _io
+
+    out = {}
+    n_frames = 250 * L  # 10 s at production geometry
+    for mode in ("q8", "sc16"):
+        rates = []
+        converged = False
+        for _rep in range(max_reps):
+            t0 = time.perf_counter()
+            if mode == "q8":
+                _, n_probe, _ = _io.read_sc16_epochs_q8(
+                    cap, 0, 250, L, channels=2
+                )
+                n_done = n_probe * L
+            else:
+                _, n_done = _native.read_raw16(cap, 0, n_frames, channels=2)
+            rates.append(n_done * 8 / (time.perf_counter() - t0) / 1e6)
+            if len(rates) >= 3:
+                top3 = sorted(rates)[-3:]
+                if (top3[-1] - top3[0]) / top3[1] < 0.20:
+                    converged = True
+                    break
+        top3 = sorted(rates)[-3:]
+        out[mode] = {
+            "mbps": float(np.median(top3)),
+            "min": min(rates),
+            "median": float(np.median(rates)),
+            "max": max(rates),
+            "reps": len(rates),
+            "converged": converged,
+            "all": [round(r, 1) for r in rates],
+        }
+    return out
+
+
 def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     from amaranth_twstft_tpu import pipeline
     from amaranth_twstft_tpu.config import ProcessingConfig
@@ -231,22 +276,23 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     log(f"end-to-end cold (incl. compiles): {cold:.1f} s  "
         f"{_stage_summary(out['timing'])}")
 
-    # contention-free host ingest CAPABILITY (page-cached read + int8
-    # quantize, no loop running): the per-host term of the v5e-16 model.
-    # Best of 3 with the first rep discarded — the first call pays torch
-    # thread-pool/allocator warmup (measured 156 vs 430 MB/s), and a
-    # single-shot measure right after a pipeline run caught stray
-    # runtime work on the 2-core host (46-178 MB/s scatter).
+    # contention-free host ingest CAPABILITY, measured until it
+    # CONVERGES (VERDICT r03 item 2: the one-shot probe swung 4.5x
+    # between runs on the shared 2-core host): repeat until the top-3
+    # reps agree within 20%, report min/median/max, and use the median
+    # of the converged top-3 as the model term.  Two modes:
+    # - q8:   native threaded int8 quantize (the int8 transfer ingest),
+    # - sc16: raw int16 frame copy (zero-convert wire-format ship).
     L = cfg.samples_per_code
     time.sleep(1.0)  # let the cold run's runtime threads settle
-    rates = []
-    for _rep in range(5):
-        t0 = time.time()
-        _, n_probe, _ = _io.read_sc16_epochs_q8(cap, 0, 250, L, channels=2)
-        rates.append(n_probe * L * 8 / (time.time() - t0) / 1e6)
-    host_ingest_mbps = max(rates[1:])
-    log(f"host ingest (standalone, 10 s slice): {host_ingest_mbps:.0f} MB/s "
-        f"(reps {[round(r) for r in rates]})")
+    host_ingest = measure_host_ingest(cap, L)
+    host_ingest_mbps = host_ingest["q8"]["mbps"]
+    log(f"host ingest q8: {host_ingest_mbps:.0f} MB/s "
+        f"(min/med/max {host_ingest['q8']['min']:.0f}/"
+        f"{host_ingest['q8']['median']:.0f}/{host_ingest['q8']['max']:.0f},"
+        f" {host_ingest['q8']['reps']} reps, converged="
+        f"{host_ingest['q8']['converged']}); sc16 raw "
+        f"{host_ingest['sc16']['mbps']:.0f} MB/s")
     # Median of >=3 warm runs with the link rate measured per run: the
     # tunnel's throughput swings ~100x over minutes (shared link), so a
     # best-of headline would be substantially luck; the per-run
@@ -273,9 +319,10 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
         f"df {out['df']}")
     assert abs(d1 - 1234) < 1.0 and abs(d2 - 56) < 1.0, (d1, d2)
 
-    # the sub-ps float16 mode and the bit-exact float32 escape hatch,
-    # benched end to end alongside the headline (VERDICT r02 item 3) on
-    # the shorter alternate capture
+    # the f16 mode and the BIT-EXACT raw-sc16 ship (same bytes as f16,
+    # zero host convert — supersedes the old f32 escape hatch at half
+    # its bytes), benched end to end alongside the headline on the
+    # shorter alternate capture
     kw_alt = dict(kw)
     kw_alt.pop("parity_ns")
     t0 = time.time()
@@ -286,12 +333,12 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     log(f"end-to-end f16-ingest ({alt_seconds}s): {f16_s:.1f} s  "
         f"{_stage_summary(out16['timing'])}")
     t0 = time.time()
-    out32 = pipeline.process_capture_overlapped(
-        cap_alt, code, cfg, proc, ingest_dtype="float32", **kw_alt
+    outsc = pipeline.process_capture_overlapped(
+        cap_alt, code, cfg, proc, ingest_dtype="sc16", **kw_alt
     )
-    f32_s = time.time() - t0
-    log(f"end-to-end f32-ingest ({alt_seconds}s): {f32_s:.1f} s  "
-        f"{_stage_summary(out32['timing'])}")
+    sc16_s = time.time() - t0
+    log(f"end-to-end sc16-ingest ({alt_seconds}s): {sc16_s:.1f} s  "
+        f"{_stage_summary(outsc['timing'])}")
 
     samples = n_seconds * cfg.fs * 2  # IQ samples, both channels
     alt_samples = alt_seconds * cfg.fs * 2
@@ -301,8 +348,9 @@ def bench_end_to_end(cfg, n_seconds: int, scratch: str) -> dict:
     return {
         "e2e_msps": samples / warm / 1e6,
         "e2e_msps_f16": alt_samples / f16_s / 1e6,
-        "e2e_msps_f32": alt_samples / f32_s / 1e6,
+        "e2e_msps_sc16": alt_samples / sc16_s / 1e6,
         "host_ingest_mbps": host_ingest_mbps,
+        "host_ingest": host_ingest,
         "e2e_cold_s": cold,
         "e2e_warm_s": warm,
         "e2e_warm_runs_s": [round(w, 2) for w in warm_runs],
@@ -626,58 +674,83 @@ def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
 
 
 def derive_v5e16_model(e2e: dict, kernel_msps: float, n_seconds: int) -> dict:
-    """Replace the r02 blind /16 with a term-by-term model of the 1-hour
-    capture on a v5e-16 (4 hosts x 4 chips), derived from measured
-    stage rates (VERDICT r02 items 1-2):
+    """Term-by-term model of the 1-hour dual-station capture on a
+    v5e-16 (4 hosts x 4 chips), from measured stage rates.
 
-    - compute: the resident-data kernel rate scales per chip (the epoch
-      axis is embarrassingly parallel; process_capture_sharded runs it
-      with zero collectives),
-    - host ingest (disk + int16->f16): measured host MB/s, 4 hosts each
-      reading their epoch slice (multi-host ingest in
-      tests/test_multihost.py),
-    - h2d: measured effective loop MB/s per chip-link as the tunnel
-      bound; a real v5e host's PCIe moves >= 10x that,
-    - serial overheads (df pre-pass + .mat write) from the median run.
+    The modeled part is a REAL v5e-16 — PCIe-attached chips (documented
+    >= 8 GB/s per chip link); this rig's relay tunnel (~20 MB/s) is an
+    artifact of the test harness, not of the hardware, so the headline
+    ``capture_hour_s_v5e16_model`` uses the PCIe transfer term and the
+    tunnel-rate variant is reported separately as a diagnostic.
 
-    The pipeline overlaps ingest/transfer/compute, so the model is the
-    max of the parallel terms plus the serial tail.
+    Terms (the pipeline overlaps ingest/transfer/compute; model = max of
+    the parallel terms + the serial tail):
+
+    - ingest per host: 1/4 of the 144 GB sc16 hour at the CONVERGED
+      standalone host rate (``measure_host_ingest``), for BOTH transfer
+      modes — int8 (native threaded quantize, half the shipped bytes)
+      and raw sc16 (pure frame copy, zero convert).  Each mode's total
+      uses its own ship ratio; the model takes the better mode.
+    - h2d: shipped bytes over 16 links at PCIe 8 GB/s (and at the
+      measured tunnel loop rate for the diagnostic variant),
+    - compute: the resident-data kernel rate x 16 chips (the epoch axis
+      is embarrassingly parallel; process_capture_sharded runs it with
+      zero collectives),
+    - serial: df pre-pass + .mat write as measured.  The pre-pass reads
+      a BOUNDED capture prefix (ops/doppler.PREPASS_MAX_SAMPLES; the
+      decimated window is truncated to <= 2^21 samples regardless of
+      capture length), so the measured value is the hour value.
     """
     st = e2e.get("median_stats", {})
     hour_bytes = 3600 * 5e6 * 2 * 4  # sc16 in
     samples = 3600 * 5e6 * 2
-    # measured host ingest rate: prefer the standalone (contention-free)
-    # measure — the in-loop timers share 2 cores with the fetch-blocked
-    # main thread and over-report 3-5x
-    ing_rate = e2e.get("host_ingest_mbps", 0.0) * 1e6
-    if not ing_rate:
-        ing_s = st.get("disk_s", 0) + st.get("convert_s", 0)
-        ing_rate = (st.get("bytes_read", 0) / ing_s) if ing_s > 0 else 0.0
-    t_ingest = hour_bytes / (4 * ing_rate) if ing_rate > 0 else 0.0
-    # shipped bytes at the MEASURED transfer-format ratio (int8 = 1/4 of
-    # sc16) over the measured effective loop rate, 16 links
-    ratio = (
-        st.get("bytes_shipped", 0) / st.get("bytes_read", 1)
-        if st.get("bytes_read", 0)
-        else 0.5
-    )
-    ship_bytes = hour_bytes * ratio
+    hi = e2e.get("host_ingest", {})
+    q8_rate = hi.get("q8", {}).get("mbps", e2e.get("host_ingest_mbps", 0.0))
+    sc16_rate = hi.get("sc16", {}).get("mbps", 0.0)
     link = st.get("loop_effective_mbps", 0.0) * 1e6
-    t_h2d = ship_bytes / (16 * link) if link > 0 else 0.0
-    # the same term at a real v5e host's PCIe floor (documented 8 GB/s
-    # per chip link — the tunnel is this rig's artifact, not the part's)
-    t_h2d_pcie = ship_bytes / (16 * 8e9)
     t_compute = samples / (16 * kernel_msps * 1e6) if kernel_msps else 0.0
     serial = (st.get("df_prepass_s", 0.0) + st.get("mat_write_s", 0.0))
-    model = max(t_ingest, t_h2d, t_compute) + serial
-    model_pcie = max(t_ingest, t_h2d_pcie, t_compute) + serial
+
+    def mode_terms(rate_mbps: float, ship_ratio: float) -> dict:
+        t_ing = (
+            hour_bytes / (4 * rate_mbps * 1e6) if rate_mbps > 0 else
+            float("inf")
+        )
+        ship = hour_bytes * ship_ratio
+        t_pcie = ship / (16 * 8e9)
+        t_tun = ship / (16 * link) if link > 0 else float("inf")
+        return {
+            "ingest_4hosts": t_ing,
+            "h2d_16links_pcie": t_pcie,
+            "h2d_16links_tunnel": t_tun,
+            "model": max(t_ing, t_pcie, t_compute) + serial,
+            "model_tunnel": max(t_ing, t_tun, t_compute) + serial,
+        }
+
+    q8 = mode_terms(q8_rate, 0.5)     # int8 ships half the sc16 bytes
+    sc16 = mode_terms(sc16_rate, 1.0)  # raw wire format, zero convert
+    best = min(q8, sc16, key=lambda m: m["model"])
+    best_name = "int8" if best is q8 else "sc16"
     return {
-        "capture_hour_s_v5e16_model": round(model, 2),
-        "capture_hour_s_v5e16_pcie": round(model_pcie, 2),
+        "capture_hour_s_v5e16_model": round(best["model"], 2),
+        "capture_hour_s_v5e16_mode": best_name,
+        # per-mode models: q8 is the conservative floor (its ingest rate
+        # is quantize-compute-bound, insensitive to page cache); sc16's
+        # raw-copy rate was measured from the page cache and stands in
+        # for the NVMe sequential rate of a real host
+        "capture_hour_s_v5e16_q8": round(q8["model"], 2),
+        "capture_hour_s_v5e16_sc16": round(sc16["model"], 2),
+        "capture_hour_s_v5e16_tunnel_h2d": round(
+            min(q8["model_tunnel"], sc16["model_tunnel"]), 2
+        ),
         "v5e16_terms_s": {
-            "ingest_4hosts": round(t_ingest, 2),
-            "h2d_16links_at_measured_rate": round(t_h2d, 2),
-            "h2d_16links_at_pcie_8gbps": round(t_h2d_pcie, 2),
+            "ingest_4hosts_q8": round(q8["ingest_4hosts"], 2),
+            "ingest_4hosts_sc16": round(sc16["ingest_4hosts"], 2),
+            "h2d_16links_pcie_q8": round(q8["h2d_16links_pcie"], 2),
+            "h2d_16links_pcie_sc16": round(sc16["h2d_16links_pcie"], 2),
+            "h2d_16links_tunnel_q8": round(
+                min(q8["h2d_16links_tunnel"], 1e9), 2
+            ),
             "compute_16chips": round(t_compute, 2),
             "serial": round(serial, 2),
         },
@@ -760,8 +833,13 @@ def main() -> None:
             "e2e_mode": "int8 (parity_ns=0.1 budget; p99 39.9 ps"
             " vs f64 oracle)",
             "e2e_msps_f16_ingest": round(e2e["e2e_msps_f16"], 2),
-            "e2e_msps_f32_ingest": round(e2e["e2e_msps_f32"], 2),
+            "e2e_msps_sc16_ingest": round(e2e["e2e_msps_sc16"], 2),
             "host_ingest_mbps": round(e2e["host_ingest_mbps"], 1),
+            "host_ingest": {
+                m: {k: (round(v, 1) if isinstance(v, float) else v)
+                    for k, v in d.items()}
+                for m, d in e2e.get("host_ingest", {}).items()
+            },
             "e2e_cold_s": round(e2e["e2e_cold_s"], 2),
             "e2e_warm_runs_s": e2e["e2e_warm_runs_s"],
             "e2e_run_link_mbps": e2e["e2e_run_link_mbps"],
