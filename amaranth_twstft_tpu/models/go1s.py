@@ -59,6 +59,9 @@ SUMMARY_NAME = "go1s_summary.txt"
 _SUMMARY_COLS = (
     "mjd", "res_mean_ns", "res_std_ns", "res25_mean_ns", "res25_std_ns",
     "filtered_std_ns", "n_flagged", "snr_op_db", "snr_lt_db", "n_codes",
+    # carrier-phase-refined columns (rxcomplex.cpp:702-744 refinement
+    # applied as carrier smoothing; nan when refinement is disabled)
+    "res_refined_mean_ns", "res25_refined_std_ns",
 )
 
 
@@ -100,9 +103,10 @@ def read_summary(path: str) -> list[dict]:
             if not line or line.startswith("#"):
                 continue
             vals = line.split("\t")
-            if len(vals) != len(_SUMMARY_COLS):
+            # accept pre-refinement rows (10 cols) as well
+            if len(vals) not in (len(_SUMMARY_COLS), 10):
                 continue
-            row = {}
+            row = {c: float("nan") for c in _SUMMARY_COLS}
             for c, v in zip(_SUMMARY_COLS, vals):
                 row[c] = int(v) if c in ("n_flagged", "n_codes") else float(v)
             row["mjd"] = round(row["mjd"], 6)
@@ -179,6 +183,7 @@ def site_delays(
     nint: int = 1,
     policy: GatingPolicy = GatingPolicy(),
     tail_rule: bool = False,
+    return_xval: bool = False,
 ):
     """One site's (loopback, remote) delay series in ns (``go_1s.m:78-175``).
 
@@ -189,6 +194,10 @@ def site_delays(
     the remote gate covers fewer epochs than the loopback series
     (``go_1s.m:164-169``).  Returns ``(lo_ns, re_ns, snr_med_db)`` or
     None when the session is unusable (< 102 usable codes, go_1s.m:100).
+    ``return_xval=True`` appends the gated complex peaks
+    ``(xval_lo, xval_re)`` for the carrier-phase refinement
+    (``rxcomplex.cpp:702-744`` via
+    :func:`amaranth_twstft_tpu.models.twoway.carrier_smooth_delays`).
     """
     lo = matio.load_result(lo_path)
     if "xval1" not in lo["raw"]:
@@ -238,6 +247,9 @@ def site_delays(
             )
         )
     )
+    if return_xval:
+        n = len(lo_ns)
+        return lo_ns, re_ns, snr_med, xval_lo[k][:n], xval_re[: len(k)][:n]
     return lo_ns, re_ns, snr_med
 
 
@@ -262,19 +274,22 @@ def write_1s_file(
     lt_lo: np.ndarray,
     lt_re: np.ndarray,
     codes_per_second: int = 25,
+    suffix: str = ".1s",
 ) -> str:
     """``<mjd>.1s`` per-second product file (``go_1s.m:251-268``).
 
     Header and row formats are byte-compatible with the reference,
     including its ``LTBBremote`` header typo; one row per full second,
     each column the per-second linear fit evaluated at the window
-    midpoint."""
+    midpoint.  ``suffix=".1sc"`` writes the carrier-smoothed variant
+    (same format, different extension so the reference-compatible
+    ``.1s`` remains untouched)."""
     from amaranth_twstft_tpu.models.twoway import one_second_products
 
     rows = one_second_products(
         mjd0, op_lo, op_re, lt_lo, lt_re, codes_per_second
     )
-    path = os.path.join(out_dir, f"{mjd0:g}.1s")
+    path = os.path.join(out_dir, f"{mjd0:g}{suffix}")
     with open(path, "w") as f:
         f.write("# MJD\t\tOPlocal\tOPremote\tLTFBlocal\tLTBBremote\n")
         for r in rows:
@@ -292,6 +307,7 @@ def process_sessions(
     gen_1s: bool = True,
     verbose: bool = False,
     write_summary: bool = True,
+    f_carrier_hz: float | None = 70e6,
 ) -> list[dict]:
     """The full session loop (``go_1s.m:73-323``): scan, load four
     archives, gate, solve, write ``.1s`` products.  Idempotent: sessions
@@ -302,7 +318,20 @@ def process_sessions(
     ``write_summary`` also appends each row to ``go1s_summary.txt`` in
     ``out_dir`` (:func:`append_summary`) so a multi-day campaign series
     is reconstructable from outputs alone.
+
+    ``f_carrier_hz`` (default: the system's 70 MHz IF) enables the
+    carrier-phase refinement: each channel's gated ``xval`` peaks are
+    run through the DLL/PLL receiver's unwrap + weighted-slope loop
+    (``rxcomplex.cpp:702-744``) as carrier smoothing
+    (:func:`amaranth_twstft_tpu.models.twoway.carrier_smooth_delays`),
+    the session is re-solved on the smoothed series, the summary gains
+    ``res_refined_mean_ns`` / ``res25_refined_std_ns`` and a parallel
+    ``<mjd>.1sc`` per-second file is written (same row format as the
+    ``.1s``; the ``.1s`` itself stays byte-compatible with the
+    reference).  ``None`` disables refinement (columns become nan).
     """
+    from amaranth_twstft_tpu.models.twoway import carrier_smooth_delays
+
     out_dir = out_dir or op_dir
     results = []
     for ses in find_sessions(op_dir, lt_dir):
@@ -310,16 +339,18 @@ def process_sessions(
         out_path = os.path.join(out_dir, f"{mjd0:g}.1s")
         if gen_1s and os.path.exists(out_path):
             continue
-        op = site_delays(ses.op_lo, ses.op_re, fs, nint, policy)
+        op = site_delays(ses.op_lo, ses.op_re, fs, nint, policy,
+                         return_xval=True)
         lt = site_delays(
-            ses.lt_lo, ses.lt_re, fs, nint, policy, tail_rule=True
+            ses.lt_lo, ses.lt_re, fs, nint, policy, tail_rule=True,
+            return_xval=True,
         )
         if op is None or lt is None:
             if verbose:
                 print(f"skipping unusable session {ses.ts_op}")
             continue
-        op_lo, op_re, snr_op = op
-        lt_lo, lt_re, snr_lt = lt
+        op_lo, op_re, snr_op, op_xlo, op_xre = op
+        lt_lo, lt_re, snr_lt, lt_xlo, lt_xre = lt
         # common-length truncation (go_1s.m:176-182)
         n = min(len(op_lo), len(lt_lo))
         op_lo, op_re, lt_lo, lt_re = (
@@ -328,12 +359,28 @@ def process_sessions(
         sol: TwoWaySolution = solve_session(
             op_lo, op_re, lt_lo, lt_re, ses.ts_lt, policy
         )
+        sol_ref: TwoWaySolution | None = None
+        if f_carrier_hz:
+            cps = float(policy.codes_per_second)
+            smoothed = [
+                carrier_smooth_delays(d[:n], x[:n], f_carrier_hz, cps)
+                for d, x in (
+                    (op_lo, op_xlo), (op_re, op_xre),
+                    (lt_lo, lt_xlo), (lt_re, lt_xre),
+                )
+            ]
+            sol_ref = solve_session(*smoothed, ses.ts_lt, policy)
         path = None
         if gen_1s:
             path = write_1s_file(
                 out_dir, mjd0, op_lo, op_re, lt_lo, lt_re,
                 policy.codes_per_second,
             )
+            if sol_ref is not None:
+                write_1s_file(
+                    out_dir, mjd0, *smoothed, policy.codes_per_second,
+                    suffix=".1sc",
+                )
         if verbose:
             print(
                 f"{ses.ts_op}: mjd={mjd0:.4f} res={sol.res_mean:+.3f}"
@@ -350,6 +397,12 @@ def process_sessions(
             snr_op_db=snr_op,
             snr_lt_db=snr_lt,
             n_codes=n,
+            res_refined_mean_ns=(
+                sol_ref.res_mean if sol_ref else float("nan")
+            ),
+            res25_refined_std_ns=(
+                sol_ref.res25_std if sol_ref else float("nan")
+            ),
             one_s_path=path,
             files=ses,
         )

@@ -45,6 +45,8 @@ __all__ = [
     "notch_dominant_line",
     "TwoWaySolution",
     "solve_session",
+    "carrier_phase_refine",
+    "carrier_smooth_delays",
     "cn0_dbhz",
     "ranging_detrend",
     "pair_rows_by_time",
@@ -303,6 +305,54 @@ def carrier_phase_refine(
         "df_hz": float(c1),  # cycles/s = Hz
         "sigma": sig,
     }
+
+
+def carrier_smooth_delays(
+    delay_ns: np.ndarray,
+    xval: np.ndarray,
+    f_carrier_hz: float,
+    epochs_per_second: float = 25.0,
+    sigma_gate: float = 3.0,
+) -> np.ndarray:
+    """Carrier-smoothed delay series (ns) from the complex peaks.
+
+    The code-tracking delay series is noisy at the correlator level; the
+    carrier phase of the same peaks measures the delay FLUCTUATION far
+    more finely (one cycle at the 70 MHz IF = 14.3 ns, and the phase
+    resolves milli-cycles at loopback SNR) but is ambiguous in absolute
+    cycles.  Classic carrier smoothing, built on the DLL/PLL receiver's
+    refinement loop (``rxcomplex.cpp:702-744``: half-cycle unwrap,
+    median/IQR 3-sigma weights, weighted linear fit — all via
+    :func:`carrier_phase_refine`):
+
+    - the CODE series contributes the absolute level and linear drift
+      (a weighted linear fit over the epoch axis),
+    - the CARRIER contributes the sub-second fluctuation about that
+      drift: the detrended unwrapped phase residual, converted at
+      ``delta_tau = -resid_cycles / f_carrier`` (a longer path rotates
+      the peak phase negative at the carrier),
+    - epochs the refinement flags as outliers fall back to the code
+      trend (resid = 0).
+
+    Returns the smoothed series, same length/units as ``delay_ns``.
+    """
+    delay_ns = np.asarray(delay_ns, float)
+    n = len(delay_ns)
+    if n < 3:
+        return delay_ns.copy()
+    ref = carrier_phase_refine(
+        xval, epochs_per_second=epochs_per_second, sigma_gate=sigma_gate
+    )
+    t = np.arange(n) / epochs_per_second
+    resid = ref["phi_cycles"] - (ref["phi0_cycles"] + ref["df_hz"] * t)
+    resid = np.where(ref["weights"] > 0, resid, 0.0)
+    # code-trend fit (NaN-safe): absolute level + linear drift
+    good = np.isfinite(delay_ns)
+    if good.sum() < 2:
+        return delay_ns.copy()
+    a, b = np.polyfit(t[good], delay_ns[good], 1)
+    trend = a * t + b
+    return trend + (-resid[:n] / f_carrier_hz) * 1e9
 
 
 def cn0_dbhz(snr_r: np.ndarray, snr_i: np.ndarray, fs: float) -> float:

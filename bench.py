@@ -660,16 +660,23 @@ def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
     solve_s = time.time() - t0
     assert len(res) == 1, res
     err_ps = abs(res[0]["res_mean_ns"] - x_ns) * 1e3
+    err_ref_ps = abs(res[0]["res_refined_mean_ns"] - x_ns) * 1e3
     total = chains_s + solve_s
     log(f"two-way rehearsal: {n_seconds}s/site synth {synth_s:.1f}s, "
         f"chains {chains_s:.1f}s, solve {solve_s:.1f}s; recovered "
         f"{res[0]['res_mean_ns']:.4f} ns (truth {x_ns}) err {err_ps:.1f} ps, "
-        f"1s-std {res[0]['res25_std_ns']*1e3:.0f} ps")
+        f"1s-std {res[0]['res25_std_ns']*1e3:.0f} ps; carrier-refined "
+        f"err {err_ref_ps:.1f} ps, 1s-std "
+        f"{res[0]['res25_refined_std_ns']*1e3:.1f} ps")
     return {
         "twoway_wall_s": round(total, 2),
         "twoway_seconds_per_site": n_seconds,
         "twoway_offset_err_ps": round(err_ps, 2),
         "twoway_res25_std_ps": round(res[0]["res25_std_ns"] * 1e3, 1),
+        "twoway_offset_refined_err_ps": round(err_ref_ps, 2),
+        "twoway_res25_refined_std_ps": round(
+            res[0]["res25_refined_std_ns"] * 1e3, 2
+        ),
     }
 
 

@@ -59,3 +59,30 @@ def test_carrier_phase_refine_recovers_slope():
     out = carrier_phase_refine(xval, epochs_per_second=eps)
     assert abs(out["df_hz"] - df_true) < 2e-3, out["df_hz"]
     assert out["weights"].sum() >= n - 5
+
+
+def test_carrier_smooth_delays_tracks_wander():
+    """Carrier smoothing: the smoothed series follows the TRUE delay
+    wander (encoded in the peak phases at the 70 MHz IF) with far less
+    noise than the code-tracking series, and keeps the code series'
+    absolute level (the carrier alone is cycle-ambiguous)."""
+    from amaranth_twstft_tpu.models.twoway import carrier_smooth_delays
+
+    rng = np.random.default_rng(7)
+    n, eps, fc = 500, 25.0, 70e6
+    t = np.arange(n) / eps
+    # true delay: level + drift + 150 ps sinusoidal wander
+    tau_ns = 5000.0 + 0.8 * t + 0.15 * np.sin(2 * np.pi * 0.3 * t)
+    code_ns = tau_ns + rng.normal(0, 0.08, n)  # 80 ps code noise
+    # peak phase encodes the true delay: phi = -fc * tau (cycles), with
+    # 0.2 milli-cycle phase noise (= 2.9 ps at the 14.3 ns IF cycle)
+    phi = -fc * tau_ns * 1e-9 + rng.normal(0, 2e-4, n)
+    xval = 1000.0 * np.exp(2j * np.pi * phi)
+    sm = carrier_smooth_delays(code_ns, xval, fc, epochs_per_second=eps)
+    # absolute level preserved from the code series
+    assert abs(np.mean(sm) - np.mean(tau_ns)) < 0.05
+    # the wander is recovered: error vs truth far below the code noise
+    err_sm = np.std(sm - tau_ns)
+    err_code = np.std(code_ns - tau_ns)
+    assert err_sm < 0.15 * err_code, (err_sm, err_code)
+    assert err_sm < 0.01, err_sm  # sub-10 ps about the truth
