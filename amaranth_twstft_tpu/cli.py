@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -179,8 +180,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("monitor", help="near-real-time follow of a growing "
                        "capture (zmq_rx.py equivalent)")
-    p.add_argument("capture")
-    p.add_argument("code")
+    p.add_argument("capture", nargs="?",
+                   help="growing sc16 capture (omit with --connect)")
+    p.add_argument("code", nargs="?",
+                   help="PRN code file (omit with --connect)")
     _add_signal_args(p)
     p.add_argument("--channels", type=int, default=2)
     p.add_argument("--epochs", type=int, default=25,
@@ -189,6 +192,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="stop after this many idle seconds")
     p.add_argument("--once", action="store_true",
                    help="process what is there and exit (no tailing)")
+    p.add_argument("--serve", type=int, metavar="PORT", default=None,
+                   help="also broadcast rows + decimated spectra to TCP "
+                   "subscribers on PORT (0 = ephemeral; the ZMQ pub role "
+                   "of x310_twstft_gr.py)")
+    p.add_argument("--connect", metavar="HOST:PORT", default=None,
+                   help="subscribe to a --serve producer and print its "
+                   "rows (the zmq_rx.py consumer role); no processing "
+                   "happens locally")
+    p.add_argument("--serve-min-clients", type=int, default=0,
+                   metavar="N", help="--serve: wait for N subscribers "
+                   "before processing starts (scripted/batch use where "
+                   "consumers must not miss the head of the stream)")
 
     p = sub.add_parser("emit", help="synthesize a capture (FPGA TX chain + "
                        "channel simulation at baseband)")
@@ -415,8 +430,6 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "dllpll":
-        import os
-
         from amaranth_twstft_tpu.models.dllpll import Receiver, parse_sdr_param
         from amaranth_twstft_tpu.utils import io
 
@@ -542,6 +555,27 @@ def _dispatch(args) -> int:
         return 0 if not rep.failed else 1
 
     if args.cmd == "monitor":
+        if args.connect:
+            # consumer role (zmq_rx.py): print the producer's rows
+            from amaranth_twstft_tpu.utils.stream import connect_monitor
+
+            host, _, port = args.connect.rpartition(":")
+            print("# epoch ch delay_samp df_hz snr_db cn0_dbhz", flush=True)
+            for msg in connect_monitor(host or "127.0.0.1", int(port),
+                                       timeout_s=args.timeout + 30.0):
+                if msg.get("type") == "row":
+                    print(
+                        f"{msg['epoch']:6d} {msg['ch']} "
+                        f"{msg['delay_samp']:12.4f} {msg['df_hz']:9.2f} "
+                        f"{msg['snr_db']:7.2f} {msg['cn0_dbhz']:6.2f}",
+                        flush=True,
+                    )
+            return 0
+        if not args.capture or not args.code:
+            print("monitor: capture and code are required unless --connect",
+                  flush=True)
+            return 2
+
         import jax.numpy as jnp
 
         from amaranth_twstft_tpu.models.godual import build_replica
@@ -558,25 +592,66 @@ def _dispatch(args) -> int:
         step = make_ranging_step(
             np.asarray(rep.fcode), np.asarray(rep.code_interp), mask, sig.fs
         )
-        print("# epoch ch delay_samp df_hz snr_db cn0_dbhz", flush=True)
-        for epoch0, ch, iq in follow_capture(
-            args.capture, sig, channels=args.channels,
-            epochs_per_batch=args.epochs, timeout_s=args.timeout,
-            stop_when_idle=args.once,
-        ):
-            out = step(jnp.asarray(pack_complex(iq)))
-            delay = out.delay_samples()
-            snr = out.snr_db()
-            cn0 = cn0_dbhz(
-                np.asarray(out.snr_r), np.asarray(out.snr_i), sig.fs
+        server = None
+        if args.serve is not None:
+            from amaranth_twstft_tpu.utils.stream import (
+                MonitorServer,
+                spectrum_summary,
             )
-            for i in range(len(delay)):
-                print(
-                    f"{epoch0 + i:6d} {ch} {delay[i]:12.4f} "
-                    f"{float(np.asarray(out.df)[i]):9.2f} {snr[i]:7.2f} "
-                    f"{cn0:6.2f}",
-                    flush=True,
+
+            server = MonitorServer(
+                port=args.serve,
+                hello={"fs": sig.fs, "channels": args.channels,
+                       "capture": os.path.basename(args.capture)},
+            )
+            print(f"# serving on {server.host}:{server.port}", flush=True)
+            if args.serve_min_clients:
+                import time as _time
+
+                t0 = _time.time()
+                while (server.n_clients < args.serve_min_clients
+                       and _time.time() - t0 < args.timeout + 30.0):
+                    _time.sleep(0.05)
+        print("# epoch ch delay_samp df_hz snr_db cn0_dbhz", flush=True)
+        try:
+            for epoch0, ch, iq in follow_capture(
+                args.capture, sig, channels=args.channels,
+                epochs_per_batch=args.epochs, timeout_s=args.timeout,
+                stop_when_idle=args.once,
+            ):
+                out = step(jnp.asarray(pack_complex(iq)))
+                delay = out.delay_samples()
+                snr = out.snr_db()
+                cn0 = cn0_dbhz(
+                    np.asarray(out.snr_r), np.asarray(out.snr_i), sig.fs
                 )
+                dfv = np.asarray(out.df)
+                for i in range(len(delay)):
+                    print(
+                        f"{epoch0 + i:6d} {ch} {delay[i]:12.4f} "
+                        f"{dfv[i]:9.2f} {snr[i]:7.2f} "
+                        f"{cn0:6.2f}",
+                        flush=True,
+                    )
+                    if server is not None:
+                        server.publish({
+                            "type": "row", "epoch": int(epoch0 + i),
+                            "ch": int(ch),
+                            "delay_samp": round(float(delay[i]), 4),
+                            "df_hz": round(float(dfv[i]), 2),
+                            "snr_db": round(float(snr[i]), 2),
+                            "cn0_dbhz": round(float(cn0), 2),
+                        })
+                if server is not None:
+                    bins, flo, fhi = spectrum_summary(iq, sig.fs)
+                    server.publish({
+                        "type": "spectrum", "epoch": int(epoch0),
+                        "ch": int(ch), "bins_db": bins,
+                        "f_lo_hz": flo, "f_hi_hz": fhi,
+                    })
+        finally:
+            if server is not None:
+                server.close()
         return 0
 
     if args.cmd == "emit":

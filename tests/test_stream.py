@@ -1,0 +1,191 @@
+"""Live monitoring pub/sub: producer + N consumers over localhost.
+
+The capability spec is the reference's ZMQ distribution path
+(``experiments/2403/x310_twstft_gr.py`` pub -> ``zmq_rx.py:38-78`` Qt
+subscribers): a live capture's observables must reach any number of
+(possibly remote) consumers without backpressuring the producer.
+"""
+
+import socket
+import threading
+
+import numpy as np
+
+from amaranth_twstft_tpu import cli
+from amaranth_twstft_tpu.utils.stream import (
+    MonitorServer,
+    connect_monitor,
+    spectrum_summary,
+)
+
+
+def _collect(host, port, out, n_stop=None):
+    got = []
+    try:
+        for msg in connect_monitor(host, port, timeout_s=20.0):
+            got.append(msg)
+            if n_stop is not None and len(got) >= n_stop:
+                break
+    finally:
+        out.append(got)
+
+
+def test_server_broadcasts_identical_streams():
+    """Two subscribers see the identical message sequence; a consumer
+    that disconnects mid-stream does not disturb the others."""
+    with MonitorServer(hello={"fs": 5e6}) as srv:
+        out1, out2, out3 = [], [], []
+        t1 = threading.Thread(
+            target=_collect, args=(srv.host, srv.port, out1), daemon=True
+        )
+        t2 = threading.Thread(
+            target=_collect, args=(srv.host, srv.port, out2), daemon=True
+        )
+        # third consumer bails after 5 messages (hello + 4 rows)
+        t3 = threading.Thread(
+            target=_collect, args=(srv.host, srv.port, out3, 5), daemon=True
+        )
+        for t in (t1, t2, t3):
+            t.start()
+        deadline = 50
+        while srv.n_clients < 3 and deadline:
+            deadline -= 1
+            threading.Event().wait(0.05)
+        assert srv.n_clients == 3
+        for i in range(40):
+            srv.publish({"type": "row", "epoch": i, "ch": i % 2,
+                         "delay_samp": 431.4 + i})
+    for t in (t1, t2, t3):
+        t.join(timeout=10)
+    msgs1, msgs2 = out1[0], out2[0]
+    assert msgs1 == msgs2
+    assert msgs1[0]["type"] == "hello" and msgs1[0]["fs"] == 5e6
+    assert msgs1[-1]["type"] == "end"
+    rows = [m for m in msgs1 if m["type"] == "row"]
+    assert [r["epoch"] for r in rows] == list(range(40))
+    assert len(out3[0]) == 5  # the early-exit consumer got its prefix
+
+
+def test_slow_consumer_is_dropped_not_blocking():
+    """A subscriber that never reads is dropped once its socket buffer
+    fills; the producer keeps publishing (pub/sub conflate policy)."""
+    with MonitorServer(send_timeout_s=0.2) as srv:
+        dead = socket.create_connection((srv.host, srv.port))
+        dead.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        while srv.n_clients < 1:
+            threading.Event().wait(0.02)
+        big = {"type": "row", "pad": "x" * 65536}
+        for i in range(64):  # enough to fill any socket buffer pair
+            srv.publish({**big, "epoch": i})
+        assert srv.n_clients == 0  # dropped, publish() never hung
+        dead.close()
+
+
+def test_spectrum_summary_shape_and_peak():
+    fs = 1e5
+    t = np.arange(4096) / fs
+    z = np.exp(2j * np.pi * 12.5e3 * t)[None] * 100.0
+    bins, flo, fhi = spectrum_summary(z, fs, bins=64)
+    assert len(bins) == 64 and flo == -fs / 2 and fhi == fs / 2
+    freqs = np.linspace(flo, fhi, 64, endpoint=False)
+    assert abs(freqs[int(np.argmax(bins))] - 12.5e3) < fs / 32
+
+
+def _sig_args(cfg):
+    return [
+        "--fs", str(cfg.fs), "--chip-rate", str(cfg.chip_rate),
+        "--code-len", str(cfg.code_len), "--bitlen", str(cfg.bit_len),
+        "--taps", str(cfg.taps),
+    ]
+
+
+def test_monitor_serve_two_connected_consumers(small_cfg, tmp_path, capsys):
+    """twstft-tpu monitor --serve broadcasts while printing; two
+    consumers (one via the --connect CLI, one via connect_monitor) see
+    identical rows matching the locally printed ground truth
+    (VERDICT r03 item 5)."""
+    cfg = small_cfg
+    cap = str(tmp_path / "cap.bin")
+    code = str(tmp_path / "code.bin")
+    assert cli.main(
+        ["prn", "--bitlen", str(cfg.bit_len), "--noiselen",
+         str(cfg.code_len), "--taps", str(cfg.taps), "-o", code]
+    ) == 0
+    assert cli.main(
+        ["emit", cap, *_sig_args(cfg), "--seconds", "1",
+         "--delay", "437", "--doppler", "120", "--amplitude", "900",
+         "--noise", "150", "--delay2", "12", "--doppler2", "5"]
+    ) == 0
+    capsys.readouterr()
+
+    # pick a free port (bind-then-close)
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    raw_msgs: list = []
+    cli_rc: list = []
+
+    def retry(fn):
+        for _ in range(200):  # the producer's server may not be up yet
+            try:
+                return fn()
+            except OSError:
+                threading.Event().wait(0.05)
+        raise TimeoutError("server never came up")
+
+    def consumer_raw():
+        def attempt():
+            got = list(connect_monitor("127.0.0.1", port, timeout_s=20.0))
+            raw_msgs.append(got)
+
+        retry(attempt)
+
+    def consumer_cli():
+        cli_rc.append(retry(lambda: cli.main(
+            ["monitor", "--connect", f"127.0.0.1:{port}", "--timeout", "10"]
+        )))
+
+    def producer():
+        # --serve-min-clients 2: both subscribers see the stream head
+        cli.main(["monitor", cap, code, *_sig_args(cfg), "--channels", "2",
+                  "--epochs", "10", "--once", "--serve", str(port),
+                  "--serve-min-clients", "2"])
+
+    tp = threading.Thread(target=producer, daemon=True)
+    t1 = threading.Thread(target=consumer_raw, daemon=True)
+    t2 = threading.Thread(target=consumer_cli, daemon=True)
+    tp.start()
+    t1.start()
+    t2.start()
+    tp.join(timeout=120)
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert not tp.is_alive() and not t1.is_alive() and not t2.is_alive()
+    assert cli_rc == [0]
+
+    printed = capsys.readouterr().out.strip().splitlines()
+    local_rows = [ln.split() for ln in printed if not ln.startswith("#")]
+    # raw consumer: hello first, end last, rows + one spectrum per batch
+    msgs = raw_msgs[0]
+    assert msgs[0]["type"] == "hello" and msgs[0]["channels"] == 2
+    assert msgs[-1]["type"] == "end"
+    rows = [m for m in msgs if m["type"] == "row"]
+    specs = [m for m in msgs if m["type"] == "spectrum"]
+    assert len(specs) >= 2 and len(specs[0]["bins_db"]) == 128
+    # both consumers printed/received the same rows as the producer.
+    # NOTE: the producer and the --connect consumer share capsys here, so
+    # local_rows contains each row twice (printed by both); compare sets.
+    assert len(rows) > 0
+    ch0 = [m for m in rows if m["ch"] == 0]
+    assert all(abs(m["delay_samp"] - 437.0) < 0.5 for m in ch0)
+    printed_pairs = {(int(r[0]), int(r[1]), float(r[2]))
+                     for r in local_rows}
+    raw_pairs = {(m["epoch"], m["ch"], m["delay_samp"]) for m in rows}
+    assert raw_pairs <= printed_pairs
+    # every broadcast row was printed by BOTH producer and consumer
+    from collections import Counter
+
+    cnt = Counter((int(r[0]), int(r[1])) for r in local_rows)
+    assert all(cnt[(m["epoch"], m["ch"])] == 2 for m in rows)
