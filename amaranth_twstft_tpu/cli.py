@@ -134,6 +134,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--nint", type=int, default=1)
     p.add_argument("--no-1s", action="store_true", help="solve only")
 
+    p = sub.add_parser(
+        "campaign", help="campaign products from go1s summaries: step "
+        "corrections, ladate/resmean25 text series, figures "
+        "(go_1s.m:356-429)"
+    )
+    p.add_argument("summary_dir",
+                   help="directory holding go1s_summary.txt (the go1s "
+                   "output dir)")
+    p.add_argument("-o", "--output", default=None,
+                   help="series output dir (default: summary_dir)")
+    p.add_argument("--corrections", default=None,
+                   help="operator step-correction table: JSON "
+                   "[[mjd, ns], ...] or '<mjd> <ns>' rows")
+    p.add_argument("--nint", type=int, default=1)
+    p.add_argument("--no-fold", action="store_true",
+                   help="skip the half-ambiguity display fold")
+    p.add_argument("--plot", default=None, metavar="PNG",
+                   help="also draw the campaign figure (matplotlib)")
+
     p = sub.add_parser("dllpll", help="DLL/PLL multi-channel receiver")
     p.add_argument("capture")
     p.add_argument("--param", required=True, help="sdr.param channel file")
@@ -427,6 +446,32 @@ def _dispatch(args) -> int:
                  "n": int(len(res["res_ns"]))}
             )
         )
+        return 0
+
+    if args.cmd == "campaign":
+        from amaranth_twstft_tpu.models import campaign, go1s
+
+        rows = go1s.read_summary(
+            os.path.join(args.summary_dir, go1s.SUMMARY_NAME)
+        )
+        if not rows:
+            print(f"no {go1s.SUMMARY_NAME} rows in {args.summary_dir}",
+                  flush=True)
+            return 1
+        corr = (campaign.load_corrections(args.corrections)
+                if args.corrections else [])
+        series = campaign.campaign_series(
+            rows, nint=args.nint, corrections=corr, fold=not args.no_fold
+        )
+        out_dir = args.output or args.summary_dir
+        paths = campaign.write_campaign_series(out_dir, series)
+        if args.plot:
+            paths.append(campaign.plot_campaign(series, args.plot))
+        print(json.dumps({
+            "sessions": len(series["ladate"]),
+            "corrections": len(corr),
+            "products": paths,
+        }, indent=1))
         return 0
 
     if args.cmd == "dllpll":
