@@ -886,8 +886,51 @@ def main() -> None:
             ))
         except Exception as e:  # noqa: BLE001
             log(f"two-way rehearsal failed: {e!r}")
+    if os.environ.get("TWSTFT_BENCH_TPU_TESTS", "1") != "0":
+        try:
+            RESULTS.update(run_tpu_tests())
+        except Exception as e:  # noqa: BLE001
+            log(f"tpu tests failed to run: {e!r}")
 
     _emit()
+
+
+def run_tpu_tests() -> dict:
+    """Run the on-device regression tests (tests_tpu/, `-m tpu`)
+    IN-PROCESS — this process already holds the TPU, and the batch
+    shapes reuse the bench's warm compile cache.  PARITY.md deviations
+    10-12 become regression-checked every round (VERDICT r03 item 8)."""
+    import pytest
+
+    class Counter:
+        def __init__(self):
+            self.passed = 0
+            self.failed = 0
+            self.skipped = 0
+
+        def pytest_runtest_logreport(self, report):
+            if report.when == "call" and report.passed:
+                self.passed += 1
+            elif report.when == "call" and report.failed:
+                self.failed += 1
+            elif report.skipped:
+                self.skipped += 1
+
+    counter = Counter()
+    here = os.path.dirname(os.path.abspath(__file__))
+    t0 = time.time()
+    pytest.main(
+        ["-q", "-s", "-p", "no:cacheprovider",
+         os.path.join(here, "tests_tpu")],
+        plugins=[counter],
+    )
+    log(f"tpu tests: {counter.passed} passed, {counter.failed} failed, "
+        f"{counter.skipped} skipped in {time.time()-t0:.0f}s")
+    return {
+        "tpu_tests_passed": counter.passed,
+        "tpu_tests_failed": counter.failed,
+        "tpu_tests_skipped": counter.skipped,
+    }
 
 
 if __name__ == "__main__":
