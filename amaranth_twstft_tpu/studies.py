@@ -36,6 +36,7 @@ __all__ = [
     "code_length_study",
     "timing_interpolation_study",
     "analyse_satre_series",
+    "gotracking_slope_study",
 ]
 
 #: The 221207 two-way code-length campaign's seven bitstream configurations
@@ -564,3 +565,103 @@ def f16_ingest_error_study(
     return {"quant": _stats(deltas_q), "f32": _stats(deltas_f32),
             "int8": _stats(deltas_i8),
             "snr_db": snr_db, "amp": amp, "sigma": sigma}
+
+
+def gotracking_slope_study(
+    n_seconds: int = 20,
+    fs: float = 1e5,
+    code_len: int = 5_000,
+    bit_len: int = 13,
+    taps: int = 27,
+    f_carrier_hz: float = 70e6,
+    slope_s_per_s: float = 3e-12,
+    df_lo_hz: float = 4.0,
+    amplitude: float = 2000.0,
+    noise_sigma: float = 30.0,
+    seed: int = 0,
+) -> dict:
+    """Loopback carrier-tracking slope study (``gotracking_inv2.m``).
+
+    The 230503 campaign tracks the loopback channel with a DLL/PLL and
+    reads the **signal-delay slope** off the carrier phase; its top chart
+    is quoted in 1e-13 s/s, "defining the noise on the correlation time
+    delay" (``experiments/230503_100kchips_withcode/README.md:3``,
+    ``gotracking_inv2.m:150-210`` PLL discriminator + slope readout).
+
+    Synthetic loopback with a known delay drift ``tau(t) = tau0 +
+    slope*t`` whose carrier phase term ``-f_carrier*tau(t)`` is embedded
+    per epoch, processed by the real per-epoch chain (squaring df ->
+    correlate -> complex peak), then the DLL/PLL refinement loop
+    (:func:`models.twoway.carrier_phase_refine`) per 1 s window reads
+    the carrier slope and converts it back to s/s.  Returns the
+    recovered per-second slope series, its mean error vs the injected
+    drift, the measured 1 s noise floor, and the sqrt(L)-scaled
+    extrapolation to the production code length (the loopback floor the
+    campaign measured at L=200 000).
+    """
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.models.twoway import carrier_phase_refine
+    from amaranth_twstft_tpu.ops.correlator import correlate_epochs
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips
+    from amaranth_twstft_tpu.ops.prn import (
+        chips_to_pm1,
+        code_spectrum,
+        interp_code,
+        upsample_zoh,
+    )
+
+    rng = np.random.default_rng(seed)
+    chips = prn_chips(bit_len, taps, code_len)
+    code = chips_to_pm1(upsample_zoh(chips, 2), np.float64)
+    L = len(code)
+    eps = int(fs) // L  # epochs (codes) per second
+    n_ep = n_seconds * eps
+    t_in = np.arange(L) / fs
+    delay0 = 423
+    sig_base = amplitude * np.roll(code, delay0)
+    # per-epoch carrier phase: phi_i = df_lo*t_i - f_carrier*tau(t_i)
+    t_ep = np.arange(n_ep) * (L / fs)
+    tau = slope_s_per_s * t_ep  # tau0 folds into a constant phase
+    phi = -f_carrier_hz * tau
+    d = np.empty((n_ep, L), np.complex128)
+    for i in range(n_ep):
+        lo = np.exp(2j * np.pi * (df_lo_hz * (t_ep[i] + t_in) + phi[i]))
+        d[i] = (sig_base * lo
+                + rng.normal(0, noise_sigma, L)
+                + 1j * rng.normal(0, noise_sigma, L))
+    fcode = code_spectrum(code)
+    code3 = interp_code(code, 3)
+    res = correlate_epochs(
+        jnp.asarray(d), fcode,
+        jnp.full(n_ep, df_lo_hz), jnp.asarray(code3), fs,
+    )
+    xval = np.asarray(res.xval)  # complex peak per epoch
+    # phase-continuous downconversion (rxcomplex.cpp:592-600): the
+    # godual-style correlator restarts its mixing ramp every epoch, so
+    # the inter-epoch LO phase df_lo*t_ep survives in the peaks; remove
+    # it like the receiver's continuous NCO would (the study knows the
+    # LO exactly — in the field the residual LO-estimate error adds a
+    # constant slope bias the campaign cannot separate from true drift,
+    # which is why its chart reads as a NOISE floor)
+    xval = xval * np.exp(-2j * np.pi * df_lo_hz * t_ep)
+
+    # per-second carrier slope via the refinement loop, mapped to s/s
+    slopes = np.empty(n_seconds)
+    for s in range(n_seconds):
+        ref = carrier_phase_refine(
+            xval[s * eps : (s + 1) * eps], epochs_per_second=eps
+        )
+        # residual carrier slope (cycles/s) = -f_carrier * d tau/dt
+        slopes[s] = -ref["df_hz"] / f_carrier_hz
+    floor = float(np.std(slopes))
+    prod_L = 200_000
+    return {
+        "slopes_s_per_s": slopes,
+        "slope_mean": float(np.mean(slopes)),
+        "slope_true": slope_s_per_s,
+        "noise_floor_s_per_s": floor,
+        "floor_production_extrapolated": floor * np.sqrt(L / prod_L),
+        "epochs_per_second": eps,
+        "L": L,
+    }

@@ -159,3 +159,21 @@ def test_f16_ingest_error_subpicosecond():
     # int8 (half-byte transfer): inside the 0.1 ns budget
     assert res["int8"]["max_ns"] < 0.1, res["int8"]
     assert res["f32"]["n"] == 64
+
+
+def test_gotracking_slope_noise_floor():
+    """Loopback carrier-slope study (gotracking_inv2.m): the refinement
+    loop recovers an injected 3e-12 s/s delay drift and the 1 s slope
+    noise floor lands in the 1e-13 s/s decade the 230503 campaign
+    measured (experiments/230503_100kchips_withcode/README.md:3)."""
+    from amaranth_twstft_tpu.studies import gotracking_slope_study
+
+    out = gotracking_slope_study(n_seconds=12, seed=1)
+    floor = out["noise_floor_s_per_s"]
+    assert floor < 1e-12, floor  # loopback-SNR decade at study L
+    # injected drift recovered within 3 sigma of the floor
+    n = len(out["slopes_s_per_s"])
+    assert (abs(out["slope_mean"] - out["slope_true"])
+            < 3 * floor / np.sqrt(n)), out
+    # production-L extrapolation sits at the campaign's ~1e-13 order
+    assert out["floor_production_extrapolated"] < 3e-13
