@@ -143,9 +143,10 @@ def test_int8_df_prepass_matches_f32(parity_capture, prod_cfg, accel):
 
 def test_mxufft_precision_vs_f64(accel, prod_cfg):
     """PARITY deviation-12 regression: the staged MXU FFT at L=200000
-    with precision="highest" stays within 1e-6 relative of the float64
-    numpy FFT (measured 1.7e-7; the bf16-default failure mode is 6.1e-3
-    and invisible to CPU tests)."""
+    under the precision policy (FFT stages at "high") stays within 1e-4
+    relative of the float64 numpy FFT (measured 3.1e-5; the silent
+    bf16-default failure mode this guards against is 6.1e-3 and
+    invisible to CPU tests)."""
     import jax
     import jax.numpy as jnp
 
@@ -167,7 +168,7 @@ def test_mxufft_precision_vs_f64(accel, prod_cfg):
     got = got_ri[..., 0] + 1j * got_ri[..., 1]
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     print(f"\n[tpu] mxufft max rel err vs f64: {rel:.2e}", flush=True)
-    assert rel < 1e-6, rel
+    assert rel < 1e-4, rel
 
 
 def test_nint4_bias_bound(accel, prod_cfg, prod_code):
