@@ -41,6 +41,10 @@ __all__ = [
     "StationController",
     "EmulatedStation",
     "LoopbackTransport",
+    "WireTransport",
+    "uart_frame_bits",
+    "uart_encode",
+    "uart_decode",
     "FdTransport",
     "open_serial",
     "PpsCalibrationBench",
@@ -505,3 +509,134 @@ class PpsCalibrationBench:
                 (float(ph), float(_np.median(vals)), len(set(vals)), early)
             )
         return rows
+
+
+# ----------------------------------------------------------------------
+# 8E1 line-level framing — the vendored serial core's wire format
+# (``amaranth_serial.py``: frame = start(0), 8 data bits LSB-first,
+# even-parity bit, stop(1); err.frame = not(start==0 and stop==1),
+# err.parity separately, :209-245).  This is the software model of the
+# bit stream the reference's AsyncSerial shifts, so the control protocol
+# can be exercised down to the line level without hardware.
+# ----------------------------------------------------------------------
+def _parity_bit(byte: int, parity: str) -> int | None:
+    ones = bin(byte & 0xFF).count("1")
+    if parity == "E":
+        return ones & 1  # even total: bit = popcount mod 2
+    if parity == "O":
+        return (ones & 1) ^ 1
+    return None  # "N"
+
+
+def uart_frame_bits(byte: int, parity: str = "E") -> list[int]:
+    """One byte -> line bits [start, d0..d7 (LSB first), parity?, stop]."""
+    bits = [0] + [(byte >> i) & 1 for i in range(8)]
+    p = _parity_bit(byte, parity)
+    if p is not None:
+        bits.append(p)
+    bits.append(1)
+    return bits
+
+
+def uart_encode(
+    data: bytes, parity: str = "E", oversample: int = 1, idle_bits: int = 1
+) -> "list[int]":
+    """Bytes -> line-level bit stream (1 = idle/high).
+
+    ``oversample`` repeats each bit (the receiver's divisor view);
+    ``idle_bits`` high bits between frames and at both ends.
+    """
+    out = [1] * idle_bits * oversample
+    for b in data:
+        for bit in uart_frame_bits(b, parity):
+            out.extend([bit] * oversample)
+        out.extend([1] * idle_bits * oversample)
+    return out
+
+
+def uart_decode(
+    bits, parity: str = "E", oversample: int = 1
+) -> tuple[bytes, list[dict]]:
+    """Line bits -> (bytes, error records) — the AsyncSerial RX model.
+
+    Hunts for the idle->start falling edge, samples each bit at its
+    midpoint, checks start/stop (``err.frame``) and the parity bit
+    (``err.parity``) exactly like the vendored core
+    (``amaranth_serial.py:240-245``); errored frames are dropped from
+    the byte stream but recorded as ``{"at": bit_index, "frame": bool,
+    "parity": bool}``.
+    """
+    bits = list(bits)
+    n_frame = 10 + (0 if parity == "N" else 1)
+    out = bytearray()
+    errors: list[dict] = []
+    i = 0
+    n = len(bits)
+    # require one idle sample before a start edge (resync after noise)
+    prev_high = True
+    while i + n_frame * oversample <= n:
+        if not (prev_high and bits[i] == 0):
+            prev_high = bits[i] == 1
+            i += 1
+            continue
+        # sample midpoints of the frame starting at i
+        samples = [
+            bits[i + k * oversample + oversample // 2]
+            for k in range(n_frame)
+        ]
+        start, stop = samples[0], samples[-1]
+        data = sum(samples[1 + k] << k for k in range(8))
+        frame_err = not (start == 0 and stop == 1)
+        parity_err = False
+        if parity != "N":
+            parity_err = samples[9] != _parity_bit(data, parity)
+        if frame_err or parity_err:
+            errors.append(
+                {"at": i, "frame": frame_err, "parity": parity_err}
+            )
+        else:
+            out.append(data)
+        i += n_frame * oversample
+        prev_high = True
+    return bytes(out), errors
+
+
+class WireTransport(LoopbackTransport):
+    """A loopback transport whose two directions pass through the 8E1
+    BIT STREAM: every write is framed to line bits and deframed at the
+    far end (and vice versa), so protocol tests exercise the vendored
+    serial core's wire format, not just a byte queue.
+
+    ``corrupt_next_bit`` flips one data-region bit of the next encoded
+    frame (fault injection: the deframer must drop that frame and log a
+    parity error, which the station side surfaces like the reference's
+    ``err.parity``)."""
+
+    def __init__(self, parity: str = "E", oversample: int = 4):
+        super().__init__()
+        self.parity = parity
+        self.oversample = oversample
+        self.line_errors: list[dict] = []
+        self.bits_on_wire = 0
+        self.corrupt_next_bit = False
+
+    def _through_wire(self, data: bytes) -> bytes:
+        bits = uart_encode(data, self.parity, self.oversample)
+        if self.corrupt_next_bit and data:
+            self.corrupt_next_bit = False
+            # flip every sample of data bit d3 of the first frame
+            base = (1 * self.oversample  # idle prefix
+                    + (1 + 4) * self.oversample)  # start + d0..d2, d3 next
+            for k in range(self.oversample):
+                bits[base + k] ^= 1
+        self.bits_on_wire += len(bits)
+        out, errs = uart_decode(bits, self.parity, self.oversample)
+        self.line_errors.extend(errs)
+        return out
+
+    def write(self, data: bytes) -> int:  # host -> station
+        self._a2b.extend(self._through_wire(bytes(data)))
+        return len(data)
+
+    def station_write(self, data: bytes) -> None:  # station -> host
+        self._b2a.extend(self._through_wire(bytes(data)))

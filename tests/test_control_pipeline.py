@@ -254,3 +254,66 @@ def test_fd_transport_over_real_pty():
         t.close()
         os.close(master)
         os.close(slave)
+
+
+def test_uart_8e1_frame_bits():
+    """Frame layout matches the vendored core (amaranth_serial.py:
+    start 0, 8 data bits LSB-first, even parity, stop 1)."""
+    from amaranth_twstft_tpu.control import uart_frame_bits
+
+    # 0xA5 = 1010_0101: LSB-first data bits 1,0,1,0,0,1,0,1; popcount 4
+    assert uart_frame_bits(0xA5) == [0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1]
+    # 0x01: popcount 1 -> even parity bit 1
+    assert uart_frame_bits(0x01) == [0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 1]
+    # parity N drops the parity bit
+    assert len(uart_frame_bits(0xFF, parity="N")) == 10
+
+
+def test_uart_line_roundtrip_and_errors():
+    from amaranth_twstft_tpu.control import uart_decode, uart_encode
+
+    data = bytes(range(0, 256, 7)) + b"\x00\xff"
+    for oversample in (1, 4):
+        bits = uart_encode(data, oversample=oversample)
+        back, errs = uart_decode(bits, oversample=oversample)
+        assert back == data and errs == []
+    # flip one data bit -> that frame dropped with a parity error
+    bits = uart_encode(b"\x12\x34", oversample=1)
+    # frame 1 starts after 1 idle bit; data bit d0 is at offset 1+1
+    bits[2] ^= 1
+    back, errs = uart_decode(bits, oversample=1)
+    assert back == b"\x34"
+    assert len(errs) == 1 and errs[0]["parity"] and not errs[0]["frame"]
+    # break the stop bit -> framing error (err.frame semantics)
+    bits = uart_encode(b"\x55", oversample=1)
+    bits[1 + 10] = 0  # stop position of the single frame
+    back, errs = uart_decode(bits, oversample=1)
+    assert back == b"" and errs[0]["frame"]
+
+
+def test_station_protocol_over_wire_transport():
+    """The full command FSM driven through the 8E1 BIT STREAM — the
+    line-level analogue of the byte-pipe test above — plus parity-error
+    fault injection (the frame is dropped on the wire, so the station
+    sees nothing and the host can observe the line error count)."""
+    from amaranth_twstft_tpu.control import WireTransport
+
+    t = WireTransport(oversample=4)
+    station = EmulatedStation(t)
+    ctl = StationController(t, bit_len=17, station=station)
+    ctl.set_mode(Modulation.BPSK)
+    assert station.mode == Modulation.BPSK
+    ctl.set_taps(taps_a=9, taps_b=85)
+    assert station.taps_a == 9 and station.taps_b == 85
+    assert t.bits_on_wire > 0 and t.line_errors == []
+
+    # fault injection: corrupt one bit of the next command's frame
+    t.corrupt_next_bit = True
+    ctl.set_time(42)
+    # SET_TIME opcode byte was dropped by the deframer -> the payload
+    # byte arrives as an (unknown) bare command, time is NOT set
+    assert station.time_s != 42
+    assert len(t.line_errors) == 1 and t.line_errors[0]["parity"]
+    # the link recovers: the next full command lands
+    ctl.set_time(17)
+    assert station.time_s == 17
