@@ -130,6 +130,12 @@ def campaign_series(
     refined = np.array([
         r.get("res_refined_mean_ns", float("nan")) for r in rows
     ])[keep]
+    slope_op = np.array([
+        r.get("slope_op_ns_s", float("nan")) for r in rows
+    ])[keep]
+    slope_lt = np.array([
+        r.get("slope_lt_ns_s", float("nan")) for r in rows
+    ])[keep]
     s = fold_half_window(raw, nint) if fold else raw.copy()
     s = apply_step_corrections(lad, s, corrections)
     sr = fold_half_window(refined, nint) if fold else refined.copy()
@@ -142,6 +148,8 @@ def campaign_series(
         "resmean25_refined": sr,
         "snr_op": snr_op,
         "snr_lt": snr_lt,
+        "slope_op": slope_op,
+        "slope_lt": slope_lt,
     }
 
 
@@ -157,7 +165,8 @@ def write_campaign_series(out_dir: str, series: dict) -> list[str]:
         np.savetxt(p, np.asarray(series[name]), fmt="%.6f")
         paths.append(p)
     keys = ("ladate", "resmean25", "resmean25_raw", "resstd25",
-            "resmean25_refined", "snr_op", "snr_lt")
+            "resmean25_refined", "snr_op", "snr_lt", "slope_op",
+            "slope_lt")
     p = os.path.join(out_dir, "campaign.tsv")
     with open(p, "w") as f:
         f.write("# " + "\t".join(keys) + "\n")
@@ -184,10 +193,15 @@ def plot_campaign(series: dict, path: str, cn0_gate_db: float = 44.0) -> str:
     c_op, c_lt = "#2a78d6", "#eb6834"
     ink, muted = "#0b0b0b", "#52514e"
     lad = series["ladate"] - 60000.0
-    fig, (ax1, ax2) = plt.subplots(
-        2, 1, figsize=(8, 6), sharex=True,
+    have_slopes = np.isfinite(
+        series.get("slope_op", np.array([np.nan]))
+    ).any()
+    n_panels = 3 if have_slopes else 2
+    fig, axes = plt.subplots(
+        n_panels, 1, figsize=(8, 3 * n_panels), sharex=True,
         gridspec_kw={"hspace": 0.25},
     )
+    ax1, ax2 = axes[0], axes[-1]
     ax1.errorbar(lad, series["resmean25"], yerr=series["resstd25"],
                  fmt="o", ms=4, lw=1.2, color=c_op, ecolor=muted,
                  capsize=2, label="two-way @ 1 s")
@@ -206,7 +220,18 @@ def plot_campaign(series: dict, path: str, cn0_gate_db: float = 44.0) -> str:
     ax2.set_ylabel("C/N0 (dB·Hz)", color=ink)
     ax2.set_xlabel("MJD - 60000 (days)", color=ink)
     ax2.legend(frameon=False, fontsize=9, loc="lower left")
-    for ax in (ax1, ax2):
+    if have_slopes:
+        # the reference's slope panel (go.m:78-84 / go_1s.m figure 3:
+        # per-site remote-series slope, +/-10 ns/s display window)
+        axs = axes[1]
+        axs.plot(lad, series["slope_op"], "-o", ms=4, lw=1.5,
+                 color=c_op, label="OP")
+        axs.plot(lad, series["slope_lt"], "-o", ms=4, lw=1.5,
+                 color=c_lt, label="LTFB")
+        axs.set_ylim(-10, 10)
+        axs.set_ylabel("slope (ns/s)", color=ink)
+        axs.legend(frameon=False, fontsize=9)
+    for ax in axes:
         ax.grid(True, color="#e6e5e1", lw=0.6)
         ax.tick_params(colors=muted, labelsize=9)
         for s in ("top", "right"):

@@ -62,6 +62,8 @@ _SUMMARY_COLS = (
     # carrier-phase-refined columns (rxcomplex.cpp:702-744 refinement
     # applied as carrier smoothing; nan when refinement is disabled)
     "res_refined_mean_ns", "res25_refined_std_ns",
+    # per-site remote-series slope diagnostics (240527 go.m:78-84)
+    "slope_op_ns_s", "slope_lt_ns_s",
 )
 
 
@@ -83,7 +85,7 @@ def append_summary(out_dir: str, row: dict) -> str:
         f.write(
             "\t".join(
                 f"{int(row[c])}" if c in ("n_flagged", "n_codes")
-                else f"{float(row[c]):.6f}"
+                else f"{float(row.get(c, float('nan'))):.6f}"
                 for c in _SUMMARY_COLS
             )
             + "\n"
@@ -104,7 +106,7 @@ def read_summary(path: str) -> list[dict]:
                 continue
             vals = line.split("\t")
             # accept pre-refinement rows (10 cols) as well
-            if len(vals) not in (len(_SUMMARY_COLS), 10):
+            if len(vals) not in (len(_SUMMARY_COLS), 12, 10):
                 continue
             row = {c: float("nan") for c in _SUMMARY_COLS}
             for c, v in zip(_SUMMARY_COLS, vals):
@@ -359,6 +361,10 @@ def process_sessions(
         sol: TwoWaySolution = solve_session(
             op_lo, op_re, lt_lo, lt_re, ses.ts_lt, policy
         )
+        from amaranth_twstft_tpu.models.twoway import session_slope
+
+        slope_op, _ = session_slope(op_re, policy.codes_per_second)
+        slope_lt, _ = session_slope(lt_re, policy.codes_per_second)
         sol_ref: TwoWaySolution | None = None
         if f_carrier_hz:
             cps = float(policy.codes_per_second)
@@ -403,6 +409,8 @@ def process_sessions(
             res25_refined_std_ns=(
                 sol_ref.res25_std if sol_ref else float("nan")
             ),
+            slope_op_ns_s=slope_op,
+            slope_lt_ns_s=slope_lt,
             one_s_path=path,
             files=ses,
         )

@@ -46,6 +46,7 @@ __all__ = [
     "TwoWaySolution",
     "solve_session",
     "carrier_phase_refine",
+    "session_slope",
     "carrier_smooth_delays",
     "cn0_dbhz",
     "ranging_detrend",
@@ -305,6 +306,29 @@ def carrier_phase_refine(
         "df_hz": float(c1),  # cycles/s = Hz
         "sigma": sig,
     }
+
+
+def session_slope(
+    series_ns: np.ndarray, codes_per_second: int = 25
+) -> tuple[float, float]:
+    """Per-session slope diagnostic of a delay series (the 240527
+    campaign's ``go.m:78-84``): quadratic polyfit over epoch time, the
+    LINEAR coefficient is the signal slope (``slopeltfb = u(2)``, ns/s),
+    and the 25-point-smoothed detrended residual std
+    (``stdltfb = std(conv(rslope - v.yf, ones(25,1)/25))``) is the
+    session noise figure.  NaNs are ignored; returns (nan, nan) when
+    fewer than 3 finite points remain.
+    """
+    s = np.asarray(series_ns, float)
+    good = np.isfinite(s)
+    if good.sum() < 3:
+        return float("nan"), float("nan")
+    t = np.arange(len(s)) / float(codes_per_second)
+    coef = np.polyfit(t[good], s[good], 2)
+    resid = s[good] - np.polyval(coef, t[good])
+    sm = np.convolve(resid, np.ones(25) / 25.0, mode="full")
+    sm = sm[24:-25] if len(sm) > 49 else sm
+    return float(coef[1]), float(np.std(sm))
 
 
 def carrier_smooth_delays(

@@ -19,11 +19,17 @@ Extras reported on the same line:
   metric — one fori_loop program, no IO),
 - ``capture_hour_s_1chip``: extrapolated wall seconds to process one
   capture-hour (2 ch x 5 MS/s) on this chip, end to end,
-- ``capture_hour_s_v5e16``: /16 linear extrapolation (time blocks and
-  channels shard; see parallel/sharded.py + MULTICHIP dryrun),
+- ``capture_hour_s_v5e16_model`` (+ per-mode ``_q8``/``_sc16`` and the
+  tunnel-h2d diagnostic): the term-by-term v5e-16 model from converged
+  measured rates (``derive_v5e16_model``),
+- ``host_ingest``: converged min/median/max of the standalone host
+  ingest rates (native int8 quantize and raw sc16 copy),
 - ``tracking_ch_seconds_per_s``: DLL/PLL bank throughput — channel-seconds
   of 120-channel production-geometry tracking per wall second
-  (reference: 120 channels in real time = 120).
+  (reference: 120 channels in real time = 120),
+- ``twoway_*``: dual-station rehearsal (offset recovery + 1 s-std, code
+  and carrier-refined),
+- ``tpu_tests_*``: on-device regression suite results (tests_tpu/).
 
 Knobs: TWSTFT_BENCH_SECONDS (capture length, default 60),
 TWSTFT_BENCH_DIR (scratch dir), TWSTFT_BENCH_TRACK=0 (skip tracking),

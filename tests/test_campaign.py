@@ -108,3 +108,21 @@ def test_campaign_cli_with_plot(tmp_path):
     assert os.path.exists(png) and os.path.getsize(png) > 5000
     rm = np.loadtxt(os.path.join(out, "resmean25.txt"))
     np.testing.assert_allclose(rm, [3.0, 4.7, 4.3], atol=1e-6)
+
+
+def test_session_slope_diagnostic():
+    """240527 go.m:78-84: quadratic-fit linear coefficient = slope
+    (ns/s), 25-smoothed detrended residual std = session noise."""
+    from amaranth_twstft_tpu.models.twoway import session_slope
+
+    rng = np.random.default_rng(2)
+    t = np.arange(750) / 25.0
+    s = 5000.0 + 2.5 * t + 0.1 * t**2 + rng.normal(0, 0.05, 750)
+    slope, std = session_slope(s, 25)
+    assert abs(slope - 2.5) < 0.05, slope
+    assert std < 0.05  # smoothing cuts the 50 ps noise ~5x
+    # NaN-robust; degenerate input
+    s[::3] = np.nan
+    slope2, _ = session_slope(s, 25)
+    assert abs(slope2 - 2.5) < 0.05
+    assert np.isnan(session_slope(np.full(2, np.nan), 25)[0])
