@@ -605,6 +605,10 @@ def _dispatch(args) -> int:
             from amaranth_twstft_tpu.utils.stream import connect_monitor
 
             host, _, port = args.connect.rpartition(":")
+            if not port.isdigit():
+                print(f"monitor --connect: expected HOST:PORT, got "
+                      f"{args.connect!r}", flush=True)
+                return 2
             print("# epoch ch delay_samp df_hz snr_db cn0_dbhz", flush=True)
             for msg in connect_monitor(host or "127.0.0.1", int(port),
                                        timeout_s=args.timeout + 30.0):

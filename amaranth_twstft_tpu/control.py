@@ -624,9 +624,9 @@ class WireTransport(LoopbackTransport):
         bits = uart_encode(data, self.parity, self.oversample)
         if self.corrupt_next_bit and data:
             self.corrupt_next_bit = False
-            # flip every sample of data bit d3 of the first frame
-            base = (1 * self.oversample  # idle prefix
-                    + (1 + 4) * self.oversample)  # start + d0..d2, d3 next
+            # flip every sample of data bit d3 of the first frame:
+            # idle(1) + start(1) + d0..d2(3) samples precede it
+            base = (1 + 1 + 3) * self.oversample
             for k in range(self.oversample):
                 bits[base + k] ^= 1
         self.bits_on_wire += len(bits)

@@ -58,6 +58,8 @@ def load_corrections(path: str) -> list[StepCorrection]:
     out: list[StepCorrection] = []
     if stripped.startswith("[") or stripped.startswith("{"):
         data = json.loads(text)
+        if isinstance(data, dict):
+            data = [data]  # a single bare correction object
         for item in data:
             if isinstance(item, dict):
                 out.append(StepCorrection(float(item["mjd_after"]),
@@ -138,8 +140,11 @@ def campaign_series(
     ])[keep]
     s = fold_half_window(raw, nint) if fold else raw.copy()
     s = apply_step_corrections(lad, s, corrections)
-    sr = fold_half_window(refined, nint) if fold else refined.copy()
-    sr = apply_step_corrections(lad, sr, corrections)
+    # refined overlay rides the SAME fold/step decisions as the code
+    # series (refinement moves the mean by at most picoseconds; folding
+    # the two independently could land a near-edge session in different
+    # half-windows and fake a ~33 ns separation)
+    sr = s + (refined - raw)
     return {
         "ladate": lad,
         "resmean25": s,

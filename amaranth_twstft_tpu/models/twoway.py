@@ -326,8 +326,9 @@ def session_slope(
     t = np.arange(len(s)) / float(codes_per_second)
     coef = np.polyfit(t[good], s[good], 2)
     resid = s[good] - np.polyval(coef, t[good])
-    sm = np.convolve(resid, np.ones(25) / 25.0, mode="full")
-    sm = sm[24:-25] if len(sm) > 49 else sm
+    sm = sliding_mean(resid, 25)
+    if len(sm) == 0:
+        sm = resid
     return float(coef[1]), float(np.std(sm))
 
 

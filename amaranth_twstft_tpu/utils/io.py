@@ -233,9 +233,16 @@ def read_sc16_epochs_q8(
             )
             if n_got == n * samples_per_epoch:
                 if timers is not None:
-                    timers["convert_s"] = (
-                        timers.get("convert_s", 0.0)
-                        + (_time.perf_counter() - t0)
+                    # the one native call spans page-in AND quantize;
+                    # book it under convert_s (disk_s stays 0 for this
+                    # path) and ALSO under native_q8_s so per-stage
+                    # consumers know the split is unavailable here —
+                    # the capture-hour model uses the standalone
+                    # host-ingest probe (total time), which matches
+                    dt = _time.perf_counter() - t0
+                    timers["convert_s"] = timers.get("convert_s", 0.0) + dt
+                    timers["native_q8_s"] = (
+                        timers.get("native_q8_s", 0.0) + dt
                     )
                     timers["bytes_read"] = (
                         timers.get("bytes_read", 0) + 2 * q.size

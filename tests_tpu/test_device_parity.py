@@ -7,7 +7,6 @@ shapes below hit the warm compile cache).
 """
 
 import os
-import tempfile
 import time
 
 import numpy as np
@@ -21,15 +20,17 @@ BATCH_EPOCHS = 125
 
 
 @pytest.fixture(scope="module")
-def parity_capture(accel, prod_cfg, prod_code):
+def parity_capture(accel, prod_cfg, prod_code, tmp_path_factory):
     """Fractional-delay capture + f64 oracle delays, shared across
-    transfer-format cases (the tools/tpu_parity_probe.py setup)."""
+    transfer-format cases (the tools/tpu_parity_probe.py setup).
+    tmp_path_factory so the ~80 MB capture is reclaimed — bench.py runs
+    this suite every round and bare mkdtemp dirs would accrete."""
     code64, spec, ham = prod_code
     L = prod_cfg.samples_per_code
     k = np.fft.fftfreq(L)
     rng = np.random.default_rng(42)
     fracs = rng.uniform(0, 1, B_EPOCHS)
-    td = tempfile.mkdtemp()
+    td = str(tmp_path_factory.mktemp("parity"))
     cap = os.path.join(td, "cap.bin")
     codep = os.path.join(td, "code.bin")
     from amaranth_twstft_tpu.ops.lfsr import write_prn_file
