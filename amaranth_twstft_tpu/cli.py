@@ -176,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--idle-timeout", type=float, default=10.0,
                    help="--follow: seconds without file growth = end of "
                         "acquisition")
+    p.add_argument("--serve", type=int, metavar="PORT", default=None,
+                   help="broadcast per-second tracking reports to TCP "
+                   "subscribers on PORT (the monitor --serve protocol; "
+                   "consume with monitor --connect)")
     p.add_argument("--group", type=int, default=8,
                    help="banked lax.map group size")
     # the reference derives code geometry from an internal PRN table
@@ -530,6 +534,18 @@ def _dispatch(args) -> int:
             rx = Receiver(chans, fs=args.fs)
         import time as _time
 
+        server = None
+        if args.serve is not None:
+            from amaranth_twstft_tpu.utils.stream import MonitorServer
+
+            server = MonitorServer(
+                port=args.serve,
+                hello={"fs": args.fs, "mode": "dllpll",
+                       "channels": len(chans),
+                       "capture": os.path.basename(args.capture)},
+            )
+            print(f"# serving on {server.host}:{server.port}", flush=True)
+
         fs = int(args.fs)
         s = 0
         idle = 0.0
@@ -555,6 +571,18 @@ def _dispatch(args) -> int:
             reports = rx.process_second(sec)
             for ch, rep in zip(rx.channels, reports):
                 if rep is not None:
+                    if server is not None:
+                        server.publish({
+                            "type": "track", "second": s,
+                            "physical": ch.cfg.physical,
+                            "prn": int(ch.cfg.prn_id),
+                            "fc_hz": round(float(rep.fc_hz), 6),
+                            "phi_cycles": round(float(rep.phi_cycles), 8),
+                            "cnt": int(rep.cnt),
+                            "gd_ns": round(float(rep.gd_ns), 6),
+                            "dg_ns_per_s": round(float(rep.dg_ns_per_s), 6),
+                            "pk_dbm": round(float(rep.pk_dbm), 3),
+                        })
                     print(
                         f"{s} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
                         f"{rep.fc_hz:14.6f} {rep.phi_cycles:11.8f} "
@@ -579,6 +607,8 @@ def _dispatch(args) -> int:
                     f.write(line + "\n")
         for line in rx.log:
             print(line, file=sys.stderr)
+        if server is not None:
+            server.close()
         return 0
 
     if args.cmd == "batch":

@@ -189,3 +189,72 @@ def test_monitor_serve_two_connected_consumers(small_cfg, tmp_path, capsys):
 
     cnt = Counter((int(r[0]), int(r[1])) for r in local_rows)
     assert all(cnt[(m["epoch"], m["ch"])] == 2 for m in rows)
+
+
+def test_dllpll_serve_broadcasts_track_reports(small_cfg, tmp_path):
+    """dllpll --serve publishes per-second tracking reports over the
+    monitor protocol; a subscriber sees the same gd/fc the receiver
+    prints (the tracking-side zmq capability)."""
+    import numpy as np
+
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+
+    a_stream, = synthesize_capture(
+        small_cfg,
+        [ChannelSim(delay_samples=137.0, doppler_hz=100.0, amplitude=900,
+                    noise_sigma=60)],
+        n_seconds=4, seed=33,
+    )
+    fs = int(small_cfg.fs)
+    cap = str(tmp_path / "track.bin")
+    frame = np.empty((4 * fs, 4), np.int16)
+    frame[:, 0] = np.clip(np.round(a_stream.real), -32768, 32767)
+    frame[:, 1] = np.clip(np.round(a_stream.imag), -32768, 32767)
+    frame[:, 2:] = 0
+    frame.tofile(cap)
+    param = tmp_path / "sdr.param"
+    param.write_text("A N 100 100.0 50 50 400 50 18\n")
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    msgs: list = []
+
+    def consumer():
+        for _ in range(200):
+            try:
+                msgs.append(
+                    list(connect_monitor("127.0.0.1", port, timeout_s=30.0))
+                )
+                return
+            except OSError:
+                threading.Event().wait(0.05)
+
+    tc = threading.Thread(target=consumer, daemon=True)
+    rc_box: list = []
+
+    def producer():
+        rc_box.append(cli.main([
+            "dllpll", cap, "--param", str(param),
+            "--fs", str(small_cfg.fs), "--serve", str(port),
+            "--bitlen", "10", "--code-len", "1000", "--nlag", "8",
+            "--taps-map", "100=9",
+        ]))
+
+    tp = threading.Thread(target=producer, daemon=True)
+    tp.start()
+    tc.start()
+    tp.join(timeout=120)
+    tc.join(timeout=30)
+    assert rc_box == [0]
+    got = msgs[0]
+    assert got[0]["type"] == "hello" and got[0]["mode"] == "dllpll"
+    assert got[-1]["type"] == "end"
+    tracks = [m for m in got if m["type"] == "track"]
+    assert tracks and all(t["prn"] == 100 for t in tracks)
+    # the tracked group delay matches the injected 137-sample delay
+    gd = np.median([t["gd_ns"] for t in tracks])
+    exp = 137.0 / small_cfg.fs * 1e9
+    assert abs(gd - exp) < 0.02 * exp, (gd, exp)
