@@ -180,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="broadcast per-second tracking reports to TCP "
                    "subscribers on PORT (the monitor --serve protocol; "
                    "consume with monitor --connect)")
+    p.add_argument("--serve-min-clients", type=int, default=0, metavar="N",
+                   help="--serve: wait for N subscribers before tracking "
+                   "starts")
     p.add_argument("--group", type=int, default=8,
                    help="banked lax.map group size")
     # the reference derives code geometry from an internal PRN table
@@ -545,11 +548,17 @@ def _dispatch(args) -> int:
                        "capture": os.path.basename(args.capture)},
             )
             print(f"# serving on {server.host}:{server.port}", flush=True)
+            if args.serve_min_clients:
+                t0 = _time.time()
+                while (server.n_clients < args.serve_min_clients
+                       and _time.time() - t0 < args.idle_timeout + 30.0):
+                    _time.sleep(0.05)
 
         fs = int(args.fs)
         s = 0
         idle = 0.0
-        while True:
+        try:
+          while True:
             total = io.n_samples_sc16(args.capture, channels=2)
             avail = total // fs - 1  # each second needs fs+nobs samples
             if args.seconds and s >= args.seconds:
@@ -581,7 +590,9 @@ def _dispatch(args) -> int:
                             "cnt": int(rep.cnt),
                             "gd_ns": round(float(rep.gd_ns), 6),
                             "dg_ns_per_s": round(float(rep.dg_ns_per_s), 6),
+                            "sdgd_ns": round(float(rep.sdgd_ns), 4),
                             "pk_dbm": round(float(rep.pk_dbm), 3),
+                            "pnoise_dbm": round(float(rep.pnoise_dbm), 3),
                         })
                     print(
                         f"{s} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
@@ -601,14 +612,15 @@ def _dispatch(args) -> int:
                         ) as f:
                             f.write(rep.row(ch.nobs / args.fs) + "\n")
             s += 1
-        if args.out_dir and not use_bank:
+          if args.out_dir and not use_bank:
             with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
                 for line in rx.log:
                     f.write(line + "\n")
-        for line in rx.log:
+          for line in rx.log:
             print(line, file=sys.stderr)
-        if server is not None:
-            server.close()
+        finally:
+            if server is not None:
+                server.close()
         return 0
 
     if args.cmd == "batch":
@@ -639,7 +651,9 @@ def _dispatch(args) -> int:
                 print(f"monitor --connect: expected HOST:PORT, got "
                       f"{args.connect!r}", flush=True)
                 return 2
-            print("# epoch ch delay_samp df_hz snr_db cn0_dbhz", flush=True)
+            print("# epoch ch delay_samp df_hz snr_db cn0_dbhz "
+                  "| track: s phys PRN fc phi cnt gd dg sdgd Pk Pn",
+                  flush=True)
             for msg in connect_monitor(host or "127.0.0.1", int(port),
                                        timeout_s=args.timeout + 30.0):
                 if msg.get("type") == "row":
@@ -647,6 +661,17 @@ def _dispatch(args) -> int:
                         f"{msg['epoch']:6d} {msg['ch']} "
                         f"{msg['delay_samp']:12.4f} {msg['df_hz']:9.2f} "
                         f"{msg['snr_db']:7.2f} {msg['cn0_dbhz']:6.2f}",
+                        flush=True,
+                    )
+                elif msg.get("type") == "track":
+                    # dllpll --serve reports (the rxcomplex row fields)
+                    print(
+                        f"{msg['second']} {msg['physical']} "
+                        f"PRN{msg['prn']} {msg['fc_hz']:14.6f} "
+                        f"{msg['phi_cycles']:11.8f} {msg['cnt']:3d} "
+                        f"{msg['gd_ns']:14.6f} {msg['dg_ns_per_s']:11.6f} "
+                        f"{msg['sdgd_ns']:8.4f} {msg['pk_dbm']:7.3f} "
+                        f"{msg['pnoise_dbm']:7.3f}",
                         flush=True,
                     )
             return 0

@@ -239,6 +239,7 @@ def test_dllpll_serve_broadcasts_track_reports(small_cfg, tmp_path):
         rc_box.append(cli.main([
             "dllpll", cap, "--param", str(param),
             "--fs", str(small_cfg.fs), "--serve", str(port),
+            "--serve-min-clients", "1",
             "--bitlen", "10", "--code-len", "1000", "--nlag", "8",
             "--taps-map", "100=9",
         ]))
