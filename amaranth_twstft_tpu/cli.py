@@ -231,6 +231,22 @@ def main(argv: list[str] | None = None) -> int:
                    "before processing starts (scripted/batch use where "
                    "consumers must not miss the head of the stream)")
 
+    p = sub.add_parser(
+        "acquire", help="record an fc32 sample stream to an sc16 capture "
+        "(the b210_file.py flowgraph stages: interleave, x32767, "
+        "complex-to-ishort, head)"
+    )
+    p.add_argument("output", help="sc16 capture file")
+    p.add_argument("--from", dest="source", default="-",
+                   help="byte source: '-' stdin (default), tcp:HOST:PORT, "
+                   "or a file/FIFO path")
+    p.add_argument("--fs", type=float, default=5e6)
+    p.add_argument("--seconds", type=float, default=185.0,
+                   help="head bound (fs*seconds frames; b210_file.py "
+                   "records 185 s)")
+    p.add_argument("--channels", type=int, default=2)
+    p.add_argument("--scale", type=float, default=32767.0)
+
     p = sub.add_parser("emit", help="synthesize a capture (FPGA TX chain + "
                        "channel simulation at baseband)")
     p.add_argument("output", help="sc16 output file")
@@ -757,6 +773,25 @@ def _dispatch(args) -> int:
             if server is not None:
                 server.close()
         return 0
+
+    if args.cmd == "acquire":
+        from amaranth_twstft_tpu.utils.recorder import (
+            open_source,
+            record_fc32_stream,
+        )
+
+        src = open_source(args.source)
+        try:
+            n = record_fc32_stream(
+                src, args.output, args.fs, args.seconds,
+                channels=args.channels, scale=args.scale,
+            )
+        finally:
+            if src is not sys.stdin.buffer:
+                src.close()
+        print(json.dumps({"frames": n, "seconds": n / args.fs,
+                          "path": args.output}))
+        return 0 if n > 0 else 1
 
     if args.cmd == "emit":
         from amaranth_twstft_tpu.config import Modulation, TimeCoderMode
