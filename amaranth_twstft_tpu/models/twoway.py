@@ -68,6 +68,33 @@ class GatingPolicy:
     ambiguity_gate_ns: float = 10.0  # fold gate (go_1s.m:207-211)
     codes_per_second: int = 25
 
+    @staticmethod
+    def for_signal(signal, nint: int = 1, **overrides) -> "GatingPolicy":
+        """Policy scaled to a signal geometry.
+
+        The reference's numeric levels are written for its Ts = 200 ns
+        sample period (``go_1s.m:10``): the ambiguity is one
+        interpolated sample ``Ts/(2N+1)`` and the jump/outlier/flag/gate
+        levels are fractions of Ts.  At any other ``fs`` those absolute
+        nanosecond constants are meaningless (a "2 ns sample-loss jump"
+        cannot detect the loss of a 10 us sample), so every
+        Ts-derived level scales by ``Ts/200 ns``; the production
+        geometry maps to the defaults exactly.  ``overrides`` replace
+        individual fields afterwards.
+        """
+        ts_ns = 1e9 / signal.fs
+        r = ts_ns / 200.0
+        kw = dict(
+            loopback_jump_ns=2.0 * r,
+            outlier_ns=5.0 * r,
+            flag_ns=3.0 * r,
+            ambiguity_ns=ts_ns / (2 * nint + 1),
+            ambiguity_gate_ns=10.0 * r,
+            codes_per_second=int(round(signal.fs / signal.samples_per_code)),
+        )
+        kw.update(overrides)
+        return GatingPolicy(**kw)
+
 
 def gate_epochs(xval: np.ndarray, policy: GatingPolicy = GatingPolicy()):
     """Indices of usable epochs: |xval| above half the peak, first 11

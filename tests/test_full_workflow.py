@@ -119,19 +119,11 @@ def test_full_workflow_acquire_to_campaign(small_cfg, tmp_path):
     # L6 session solve (go_1s semantics + carrier refinement)
     out_dir = tmp_path / "products"
     out_dir.mkdir()
-    # the production GatingPolicy constants are in ns AT Ts=200 ns;
-    # scale the sample-period-derived ones to this geometry's 10 us
-    # samples (the ambiguity fold would otherwise shift noise-tail
-    # codes by a production 66.7 ns and bias the session mean)
-    ts_ratio = (1e9 / fs) / 200.0
-    policy = GatingPolicy(
-        codes_per_second=int(cfg.codes_per_second),
-        ambiguity_ns=(1e9 / fs) / (2 * nint + 1),
-        ambiguity_gate_ns=10.0 * ts_ratio,
-        loopback_jump_ns=2.0 * ts_ratio,
-        outlier_ns=5.0 * ts_ratio,
-        flag_ns=3.0 * ts_ratio,
-    )
+    # the production GatingPolicy constants are written for Ts=200 ns;
+    # for_signal scales the Ts-derived levels to this geometry (the
+    # production ambiguity fold would otherwise shift noise-tail codes
+    # by 66.7 ns and bias the session mean)
+    policy = GatingPolicy.for_signal(cfg, nint=nint)
     res = go1s.process_sessions(
         dirs["OP"], dirs["LTFB"], str(out_dir), fs=fs, nint=nint,
         policy=policy,

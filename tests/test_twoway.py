@@ -138,3 +138,23 @@ def test_end_to_end_dual_station(small_cfg, tmp_path):
     truth_ns = (x_samp + (d_lt - d_op) / 2.0) / fs * 1e9
     assert abs(sol.res_mean - truth_ns) < 2.0, (sol.res_mean, truth_ns)
     assert sol.res_std < 3.0
+
+
+def test_gating_policy_for_signal_scaling():
+    """GatingPolicy.for_signal: production geometry maps to the default
+    constants exactly; other geometries scale the Ts-derived levels."""
+    from amaranth_twstft_tpu.config import SignalConfig
+    from amaranth_twstft_tpu.models.twoway import GatingPolicy
+
+    prod = GatingPolicy.for_signal(SignalConfig())
+    assert prod == GatingPolicy()
+    small = SignalConfig(fs=1e5, chip_rate=5e4, code_len=1000, bit_len=10,
+                         taps=9)
+    p = GatingPolicy.for_signal(small, nint=4)
+    ts = 1e9 / small.fs
+    assert abs(p.ambiguity_ns - ts / 9) < 1e-9
+    assert abs(p.loopback_jump_ns - 2.0 * ts / 200.0) < 1e-9
+    assert p.codes_per_second == 50
+    assert p.amplitude_ratio == 0.5  # non-Ts levels untouched
+    p2 = GatingPolicy.for_signal(small, outlier_ns=7.0)
+    assert p2.outlier_ns == 7.0  # overrides win
