@@ -133,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fs", type=float, default=5e6)
     p.add_argument("--nint", type=int, default=1)
     p.add_argument("--no-1s", action="store_true", help="solve only")
+    p.add_argument("--codes-per-second", type=int, default=25)
 
     p = sub.add_parser(
         "campaign", help="campaign products from go1s summaries: step "
@@ -432,14 +433,24 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "go1s":
+        from amaranth_twstft_tpu.config import SignalConfig
         from amaranth_twstft_tpu.models import go1s
+        from amaranth_twstft_tpu.models.twoway import GatingPolicy
 
+        # gating levels scale with the sample period (the reference's
+        # constants are written for Ts=200 ns); production fs maps to
+        # the defaults exactly
+        policy = GatingPolicy.for_signal(
+            SignalConfig(fs=args.fs), nint=args.nint,
+            codes_per_second=args.codes_per_second,
+        )
         res = go1s.process_sessions(
             args.op_dir,
             args.ltfb_dir,
             args.output,
             fs=args.fs,
             nint=args.nint,
+            policy=policy,
             gen_1s=not args.no_1s,
             verbose=True,
         )
