@@ -1,6 +1,10 @@
 """End-to-end TPU delay parity vs the float64 oracle through the real
 pipeline: per-epoch fractional delays, f16 and int8 ingest modes.
 
+NOTE: promoted to a per-round regression in ``tests_tpu/`` (run by
+``bench.py`` on the chip); this standalone probe remains for longer
+ad-hoc runs (more epochs, custom modes).
+
 Source of the on-device numbers in PARITY.md deviation 10 (f16 p99
 2.8 ps, int8 p99 10.4 ps at -13 dB, production geometry).  Run on the
 axon TPU: ``python tools/tpu_parity_probe.py`` (waits for the tunnel)."""
