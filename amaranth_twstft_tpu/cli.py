@@ -184,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--serve-min-clients", type=int, default=0, metavar="N",
                    help="--serve: wait for N subscribers before tracking "
                    "starts")
+    p.add_argument("--serve-host", default="127.0.0.1",
+                   help="--serve bind address (0.0.0.0 for remote "
+                   "consumers)")
     p.add_argument("--group", type=int, default=8,
                    help="banked lax.map group size")
     # the reference derives code geometry from an internal PRN table
@@ -231,6 +234,9 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="N", help="--serve: wait for N subscribers "
                    "before processing starts (scripted/batch use where "
                    "consumers must not miss the head of the stream)")
+    p.add_argument("--serve-host", default="127.0.0.1",
+                   help="--serve bind address (0.0.0.0 for remote "
+                   "consumers, the zmq_rx.py use case)")
 
     p = sub.add_parser(
         "acquire", help="record an fc32 sample stream to an sc16 capture "
@@ -569,6 +575,7 @@ def _dispatch(args) -> int:
             from amaranth_twstft_tpu.utils.stream import MonitorServer
 
             server = MonitorServer(
+                host=args.serve_host,
                 port=args.serve,
                 hello={"fs": args.fs, "mode": "dllpll",
                        "channels": len(chans),
@@ -731,6 +738,7 @@ def _dispatch(args) -> int:
             )
 
             server = MonitorServer(
+                host=args.serve_host,
                 port=args.serve,
                 hello={"fs": sig.fs, "channels": args.channels,
                        "capture": os.path.basename(args.capture)},
