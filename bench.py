@@ -713,6 +713,15 @@ def derive_v5e16_model(e2e: dict, kernel_msps: float, n_seconds: int) -> dict:
       a BOUNDED capture prefix (ops/doppler.PREPASS_MAX_SAMPLES; the
       decimated window is truncated to <= 2^21 samples regardless of
       capture length), so the measured value is the hour value.
+
+    Storage assumption, stated explicitly: the ingest rates are
+    measured against the page cache.  That is the deployment-realistic
+    state — the capture was written by acquisition within the hour at
+    40 MB/s, and a v5e host's RAM holds the full 36 GB per-host slice —
+    and this rig's virtual disk (~0.5 GB/s measured cold) says nothing
+    about a real host's NVMe.  A deployment whose captures are truly
+    cold on disk should use min(measured rate, its own disk rate) for
+    the ingest terms.
     """
     st = e2e.get("median_stats", {})
     hour_bytes = 3600 * 5e6 * 2 * 4  # sc16 in
