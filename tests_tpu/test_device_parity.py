@@ -210,3 +210,59 @@ def test_nint4_bias_bound(accel, prod_cfg, prod_code):
     print(f"\n[tpu] nint=4 bias at fractions {fracs}: "
           f"max {err_ps.max():.1f} ps", flush=True)
     assert err_ps.max() < 60.0, err_ps
+
+
+def test_tracker_bank_truth_on_device(accel):
+    """DLL/PLL bank numerics ON THE CHIP: a 2-PRN small-geometry bank
+    acquires and locks both channels and recovers the injected delays
+    and Dopplers (the bench's tracking section measures throughput only;
+    this asserts the solutions)."""
+    import dataclasses
+
+    from amaranth_twstft_tpu.config import SignalConfig
+    from amaranth_twstft_tpu.models.dllpll import ChannelConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.models.tracker import BankedReceiver
+
+    cfg = SignalConfig(fs=1e5, chip_rate=5e4, code_len=1000, bit_len=10,
+                       taps=9)
+    fs, L = int(cfg.fs), cfg.samples_per_code
+    fs_ns = 1e9 / cfg.fs
+    delays = {9: 137.0, 27: 555.0}
+    dops = {9: 120.0, 27: -210.0}
+    streams = synthesize_capture(
+        cfg,
+        [ChannelSim(delay_samples=delays[9], doppler_hz=dops[9],
+                    amplitude=900, noise_sigma=120)],
+        n_seconds=4, seed=17,
+        extra_emissions=[
+            (dataclasses.replace(cfg, taps=27),
+             ChannelSim(delay_samples=delays[27], doppler_hz=dops[27],
+                        amplitude=900, noise_sigma=0.0)),
+        ],
+    )
+    stream = streams[0]
+
+    def chan(taps):
+        return ChannelConfig(
+            physical="A", prn_id=100 + taps, bit_len=10, taps=taps,
+            fc_init_hz=0.0, chip_rate=5e4, code_len=1000, filter_hz=5e4,
+            acq_range_hz=500.0, acq_step_hz=50.0, snr_min_db=20.0, nlag=8,
+        )
+
+    rx = BankedReceiver([chan(9), chan(27)], fs=cfg.fs)
+    reports = None
+    for s in range(4):
+        seg = stream[s * fs : (s + 1) * fs + 2 * L]
+        reports = rx.process_second({"A": seg})
+    for rep, taps in zip(reports, (9, 27)):
+        assert rep is not None and rep.locked, (taps, rep)
+        assert abs(rep.fc_hz - dops[taps]) < 2.0, (taps, rep.fc_hz)
+        # tracked group delay modulo the code period vs injected truth
+        exp_ns = (delays[taps] % L) * fs_ns
+        got = rep.gd_ns % (L * fs_ns)
+        err = min(abs(got - exp_ns), L * fs_ns - abs(got - exp_ns))
+        print(f"\n[tpu] tracker PRN taps={taps}: gd {got:.1f} ns "
+              f"(exp {exp_ns:.1f}), fc {rep.fc_hz:.2f} Hz "
+              f"(exp {dops[taps]})", flush=True)
+        assert err < 100.0, (got, exp_ns)  # 0.01 sample at this geometry
