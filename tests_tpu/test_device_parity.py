@@ -76,11 +76,13 @@ def _oracle_delays(capd, prod_cfg, prod_code, df):
 
 #: p99 bound per transfer format, ps — 2x headroom over the measured
 #: on-device numbers (PARITY.md deviation 10: f16 2.8 ps, int8 10.4 ps
-#: at 200 epochs; sc16 is bit-identical to f32 so it shares f16's bound)
-P99_BOUND_PS = {"float16": 20.0, "int8": 60.0, "sc16": 20.0}
+#: at 200 epochs; int8-pow2 coarsens the step <=2x -> ~18 ps measured;
+#: sc16 is bit-identical to f32 so it shares f16's bound)
+P99_BOUND_PS = {"float16": 20.0, "int8": 60.0, "int8-pow2": 90.0,
+                "sc16": 20.0}
 
 
-@pytest.mark.parametrize("mode", ["int8", "sc16", "float16"])
+@pytest.mark.parametrize("mode", ["int8", "int8-pow2", "sc16", "float16"])
 def test_transfer_format_parity_vs_f64_oracle(
     mode, parity_capture, prod_cfg, prod_code, accel
 ):
@@ -89,12 +91,18 @@ def test_transfer_format_parity_vs_f64_oracle(
 
     capd = parity_capture
     t0 = time.time()
-    out = pipeline.process_capture_overlapped(
-        capd["cap"], capd["code"], prod_cfg,
-        ProcessingConfig(hamming_window=True),
-        batch_epochs=BATCH_EPOCHS, ingest_dtype=mode,
-        out_mat=os.path.join(capd["td"], f"o_{mode}.mat"),
-    )
+    if mode == "int8-pow2":
+        os.environ["TWSTFT_Q8_POW2"] = "1"
+    try:
+        out = pipeline.process_capture_overlapped(
+            capd["cap"], capd["code"], prod_cfg,
+            ProcessingConfig(hamming_window=True),
+            batch_epochs=BATCH_EPOCHS,
+            ingest_dtype=mode.split("-")[0],
+            out_mat=os.path.join(capd["td"], f"o_{mode}.mat"),
+        )
+    finally:
+        os.environ.pop("TWSTFT_Q8_POW2", None)
     d_t = (np.asarray(out["ch1"]["indice"])
            + np.asarray(out["ch1"]["correction"])) / 3.0
     df = float(out["df"][0])
