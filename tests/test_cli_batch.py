@@ -497,3 +497,18 @@ def test_resolve_ingest_dtype_ladder():
     # half the bytes) regardless of how small the budget is
     assert r(None, 0.05, True) == "int16"
     assert r(None, 0.001, True) == "int16"
+
+
+def test_every_subcommand_help_exits_clean(capsys):
+    """Arg-wiring smoke: each subcommand parses -h (a broken add_argument
+    or duplicate dest raises at parser build, not at dispatch)."""
+    import pytest as _pytest
+
+    for cmd in ("prn", "ranging", "goranging", "claudio", "gofinal",
+                "twoway", "go1s", "campaign", "dllpll", "batch",
+                "monitor", "acquire", "emit", "config"):
+        with _pytest.raises(SystemExit) as e:
+            cli.main([cmd, "-h"])
+        assert e.value.code == 0, cmd
+        out = capsys.readouterr().out
+        assert out.startswith(f"usage: twstft-tpu {cmd}"), (cmd, out[:60])
