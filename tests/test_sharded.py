@@ -347,3 +347,48 @@ def test_sharded_pipeline_int8_ingest(small_cfg, tmp_path):
     d8 = (np.asarray(o8["ch1"]["indice"]) + o8["ch1"]["correction"]) / 3.0
     assert np.max(np.abs(d8 - d32)) < 3e-3, np.max(np.abs(d8 - d32))
     assert abs(float(np.median(d8)) - 431.4) < 0.1
+
+
+def test_sharded_pipeline_sc16_ingest(small_cfg, tmp_path):
+    """Raw sc16 transfer mode through the mesh: numerically identical to
+    float32 ingest (exact device-side cast) at half the bytes and zero
+    host conversion, across shards (indice exact, float outputs to
+    CPU threaded-matmul reproducibility)."""
+    from amaranth_twstft_tpu import pipeline
+    from amaranth_twstft_tpu.config import ProcessingConfig
+    from amaranth_twstft_tpu.models.emitter import ChannelSim, synthesize_capture
+    from amaranth_twstft_tpu.ops.lfsr import write_prn_file
+    from amaranth_twstft_tpu.parallel.mesh import make_mesh
+    from amaranth_twstft_tpu.utils import io as uio
+
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=13,
+    )
+    cap = str(tmp_path / "cap16.bin")
+    uio.write_sc16(cap, meas, ref)
+    proc = ProcessingConfig(hamming_window=True)
+    o32 = pipeline.process_capture_sharded(
+        cap, code, small_cfg, proc, mesh=make_mesh(4, 1), batch_epochs=10,
+        ingest_dtype="float32", out_mat=str(tmp_path / "t32.mat"),
+    )
+    o16 = pipeline.process_capture_sharded(
+        cap, code, small_cfg, proc, mesh=make_mesh(4, 1), batch_epochs=10,
+        ingest_dtype="sc16", out_mat=str(tmp_path / "t16.mat"),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o32["ch1"]["indice"]), np.asarray(o16["ch1"]["indice"])
+    )
+    for ch in ("ch1", "ch2"):
+        np.testing.assert_allclose(
+            np.asarray(o32[ch]["correction"]),
+            np.asarray(o16[ch]["correction"]), rtol=0, atol=2e-5,
+        )
+    assert o32["df"] == o16["df"]
+    assert abs(float(np.median(
+        (np.asarray(o16["ch1"]["indice"]) + o16["ch1"]["correction"]) / 3.0
+    )) - 431.4) < 0.1
