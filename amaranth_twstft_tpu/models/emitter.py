@@ -23,7 +23,7 @@ A synthesized two-station scenario exercises the full two-way solve with a
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

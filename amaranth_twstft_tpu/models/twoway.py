@@ -27,7 +27,7 @@ functions rather than the reference's scattered in-script patches
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -20,7 +20,6 @@ Results are identical at any shard count — asserted by
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 
 __all__ = ["EpochRow", "EventLog", "format_epoch_row"]
 
