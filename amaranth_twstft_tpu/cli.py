@@ -102,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
                         "matches the reference's 3x grid (+-368 ps "
                         "intrinsic parabola bias), 4 cuts the bias to "
                         "14 ps at the same cost (PARITY.md deviation 11)")
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="wrap the run in a jax.profiler trace "
+                        "(TensorBoard/Perfetto logdir)")
 
     p = sub.add_parser("claudio", help="per-code aligned tracking chain")
     p.add_argument("capture")
@@ -275,6 +278,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--load")
 
     args = parser.parse_args(argv)
+    if getattr(args, "profile", None):
+        # jax.profiler trace around the whole run (SURVEY.md §5 tracing)
+        from amaranth_twstft_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            return _dispatch(args)
     return _dispatch(args)
 
 
