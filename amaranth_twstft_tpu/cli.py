@@ -602,65 +602,65 @@ def _dispatch(args) -> int:
         idle = 0.0
         try:
             while True:
-              total = io.n_samples_sc16(args.capture, channels=2)
-              avail = total // fs - 1  # each second needs fs+nobs samples
-              if args.seconds and s >= args.seconds:
-                  break
-              if s >= avail:
-                  if not args.follow or idle >= args.idle_timeout:
-                      break
-                  _time.sleep(0.2)
-                  idle += 0.2
-                  continue
-              idle = 0.0
-              d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, 2 * fs,
-                                         channels=2)
-              if d.shape[1] == 0:
-                  break
-              sec = {"A": d[0, 0], "B": d[1, 0]}
-              if args.real:
-                  sec = {k: np.real(v) for k, v in sec.items()}
-              reports = rx.process_second(sec)
-              for ch, rep in zip(rx.channels, reports):
-                  if rep is not None:
-                      if server is not None:
-                          server.publish({
-                              "type": "track", "second": s,
-                              "physical": ch.cfg.physical,
-                              "prn": int(ch.cfg.prn_id),
-                              "fc_hz": round(float(rep.fc_hz), 6),
-                              "phi_cycles": round(float(rep.phi_cycles), 8),
-                              "cnt": int(rep.cnt),
-                              "gd_ns": round(float(rep.gd_ns), 6),
-                              "dg_ns_per_s": round(float(rep.dg_ns_per_s), 6),
-                              "sdgd_ns": round(float(rep.sdgd_ns), 4),
-                              "pk_dbm": round(float(rep.pk_dbm), 3),
-                              "pnoise_dbm": round(float(rep.pnoise_dbm), 3),
-                          })
-                      print(
-                          f"{s} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
-                          f"{rep.fc_hz:14.6f} {rep.phi_cycles:11.8f} "
-                          f"{rep.cnt:3d} {rep.gd_ns:14.6f} {rep.dg_ns_per_s:11.6f} "
-                          f"{rep.sdgd_ns:8.4f} {rep.pk_dbm:7.3f} {rep.pnoise_dbm:7.3f}"
-                      )
-                      if args.out_dir and not use_bank:
-                          # the banked receiver writes its own .dat rows
-                          from amaranth_twstft_tpu.models.dllpll import (
-                              dat_filename,
-                          )
+                total = io.n_samples_sc16(args.capture, channels=2)
+                avail = total // fs - 1  # each second needs fs+nobs samples
+                if args.seconds and s >= args.seconds:
+                    break
+                if s >= avail:
+                    if not args.follow or idle >= args.idle_timeout:
+                        break
+                    _time.sleep(0.2)
+                    idle += 0.2
+                    continue
+                idle = 0.0
+                d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, 2 * fs,
+                                           channels=2)
+                if d.shape[1] == 0:
+                    break
+                sec = {"A": d[0, 0], "B": d[1, 0]}
+                if args.real:
+                    sec = {k: np.real(v) for k, v in sec.items()}
+                reports = rx.process_second(sec)
+                for ch, rep in zip(rx.channels, reports):
+                    if rep is not None:
+                        if server is not None:
+                            server.publish({
+                                "type": "track", "second": s,
+                                "physical": ch.cfg.physical,
+                                "prn": int(ch.cfg.prn_id),
+                                "fc_hz": round(float(rep.fc_hz), 6),
+                                "phi_cycles": round(float(rep.phi_cycles), 8),
+                                "cnt": int(rep.cnt),
+                                "gd_ns": round(float(rep.gd_ns), 6),
+                                "dg_ns_per_s": round(float(rep.dg_ns_per_s), 6),
+                                "sdgd_ns": round(float(rep.sdgd_ns), 4),
+                                "pk_dbm": round(float(rep.pk_dbm), 3),
+                                "pnoise_dbm": round(float(rep.pnoise_dbm), 3),
+                            })
+                        print(
+                            f"{s} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
+                            f"{rep.fc_hz:14.6f} {rep.phi_cycles:11.8f} "
+                            f"{rep.cnt:3d} {rep.gd_ns:14.6f} {rep.dg_ns_per_s:11.6f} "
+                            f"{rep.sdgd_ns:8.4f} {rep.pk_dbm:7.3f} {rep.pnoise_dbm:7.3f}"
+                        )
+                        if args.out_dir and not use_bank:
+                            # the banked receiver writes its own .dat rows
+                            from amaranth_twstft_tpu.models.dllpll import (
+                                dat_filename,
+                            )
 
-                          with open(
-                              os.path.join(args.out_dir, dat_filename(ch.cfg)),
-                              "a",
-                          ) as f:
-                              f.write(rep.row(ch.nobs / args.fs) + "\n")
-              s += 1
+                            with open(
+                                os.path.join(args.out_dir, dat_filename(ch.cfg)),
+                                "a",
+                            ) as f:
+                                f.write(rep.row(ch.nobs / args.fs) + "\n")
+                s += 1
             if args.out_dir and not use_bank:
-              with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
-                  for line in rx.log:
-                      f.write(line + "\n")
+                with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
+                    for line in rx.log:
+                        f.write(line + "\n")
             for line in rx.log:
-              print(line, file=sys.stderr)
+                print(line, file=sys.stderr)
         finally:
             if server is not None:
                 server.close()
