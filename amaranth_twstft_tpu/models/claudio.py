@@ -297,7 +297,14 @@ def process_file(
         else:
             tail = 0
         dold = dcat[tail:]
-        if n < 1 or len(d[0, 0]) < block:
+        if n < 1:
+            # NOTE: like the reference, the final PARTIAL block (and its
+            # dold carry) is dropped — its fread loop exits on any short
+            # read (``do ... until (longueur != fs*2*ls)``,
+            # claudio_...separate.m:147,205), so up to block-1 samples at
+            # EOF never correlate.  read_sc16_epochs drops short tails,
+            # making n == 0 the (only) exit; a `len < block` guard here
+            # was dead code.
             break
 
     matio.save_claudio_style(out_mat, _acc_asdict(acc), code=rep.code,

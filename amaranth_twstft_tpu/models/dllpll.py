@@ -849,7 +849,11 @@ class Receiver:
         st.gd = c0g + 0.5 * c1g
         st.dg = c1g
         st.pt_prev = st.pt
-        st.pt = int(np.round((c0g + c1g) * self.fs / 1e9))
+        # the reference writes pt unguarded (rxcomplex.cpp:744); a delay
+        # near 0 mod the code with negative drift would make it -1 and
+        # the next second's seg = smp[pt:] an empty/garbage slice —
+        # wrap by one code period (the delay is code-periodic anyway)
+        st.pt = int(np.round((c0g + c1g) * self.fs / 1e9)) % ch.nobs
         st.pk = float(np.mean(ps[w > 0])) if (w > 0).any() else 0.0
 
         first = st.is_first

@@ -121,6 +121,12 @@ def synthesize_capture(
     rng = np.random.default_rng(seed)
     outs = []
     base = [baseband_second(cfg, s) for s in range(n_seconds)]
+    # extra emissions' basebands are channel-independent: build once
+    # (a per-channel rebuild re-walks the 100k-chip LFSR per second)
+    extra_bases = [
+        [baseband_second(ecfg, s) for s in range(n_seconds)]
+        for ecfg, _ in (extra_emissions or [])
+    ]
     n = len(base[0])
     for ch in channels:
         stream = np.empty(n_seconds * n, dtype=np.complex128)
@@ -131,8 +137,7 @@ def synthesize_capture(
             lo = np.exp(2j * np.pi * (ch.doppler_hz * t + ch.phase_cycles))
             stream[s * n : (s + 1) * n] = ch.amplitude * sig * lo
         if extra_emissions:
-            for ecfg, ech in extra_emissions:
-                ebase = [baseband_second(ecfg, s) for s in range(n_seconds)]
+            for (ecfg, ech), ebase in zip(extra_emissions, extra_bases):
                 for s in range(n_seconds):
                     d = ech.delay_samples + ech.drift_samples_per_s * s
                     sig = _fractional_delay_circular(ebase[s], d)

@@ -224,6 +224,9 @@ def site_delays(
     )
     gaps = np.flatnonzero(np.diff(kkk) > 1)
     if len(gaps):
+        # reference-faithful: go_1s.m:108-118 keeps the FIRST kkkk(1)
+        # entries of k (count, not position — leading remote-gate
+        # failures stay in; ``k=k(1:kkkk(1))``)
         cut = gaps[0] + 1
         k = k[:cut]
         lo_ns = lo_ns[: min(cut, len(lo_ns))]
@@ -268,6 +271,15 @@ def go1s_mjd(ts_unix: float) -> float:
     return jd - 2400000.5 + 0.5 - 8.4e-2
 
 
+def _mjd_name(mjd0: float) -> str:
+    """File stem for a session MJD, Octave ``num2str`` style (~9
+    significant digits, trailing zeros trimmed).  A 6-digit ``%g`` would
+    bucket MJDs at 0.1-day resolution and silently collide two
+    same-day sessions 2 h apart (the reference names with
+    ``num2str(ladate(p))``, ``go_1s.m:251``)."""
+    return f"{mjd0:.10g}"
+
+
 def write_1s_file(
     out_dir: str,
     mjd0: float,
@@ -291,7 +303,7 @@ def write_1s_file(
     rows = one_second_products(
         mjd0, op_lo, op_re, lt_lo, lt_re, codes_per_second
     )
-    path = os.path.join(out_dir, f"{mjd0:g}{suffix}")
+    path = os.path.join(out_dir, _mjd_name(mjd0) + suffix)
     with open(path, "w") as f:
         f.write("# MJD\t\tOPlocal\tOPremote\tLTFBlocal\tLTBBremote\n")
         for r in rows:
@@ -338,7 +350,7 @@ def process_sessions(
     results = []
     for ses in find_sessions(op_dir, lt_dir):
         mjd0 = go1s_mjd(ses.ts_lt)
-        out_path = os.path.join(out_dir, f"{mjd0:g}.1s")
+        out_path = os.path.join(out_dir, _mjd_name(mjd0) + ".1s")
         if gen_1s and os.path.exists(out_path):
             continue
         op = site_delays(ses.op_lo, ses.op_re, fs, nint, policy,

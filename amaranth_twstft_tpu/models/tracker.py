@@ -246,6 +246,11 @@ def banked_track_step(
     if iq_ri.dtype == jnp.int8:
         # int8 transfer mode (see utils/io.read_sc16_epochs_q8): half
         # the bytes of f16 through the byte-rate-bound relay link
+        if scale is None:
+            raise ValueError(
+                "int8 iq_ri requires the per-second dequantization "
+                "scale (q = round(x/scale))"
+            )
         iq_ri = iq_ri.astype(jnp.float32) * scale.astype(jnp.float32)
     elif iq_ri.dtype in (jnp.float16, jnp.bfloat16):
         iq_ri = iq_ri.astype(jnp.float32)
@@ -895,7 +900,14 @@ class BankedReceiver:
             st.gd = gd_abs + 0.5 * float(c1g[i])
             st.dg = float(c1g[i])
             st.pt_prev = st.pt
-            st.pt = int(np.round((gd_abs + float(c1g[i])) * self.fs / 1e9))
+            # wrap by one code period: an unguarded negative pt (delay
+            # near 0 mod code, negative drift) would be silently clamped
+            # by the device program's dynamic_slice, mis-aligning the
+            # next second by |pt| samples (the host twin wraps too;
+            # the reference writes it unguarded, rxcomplex.cpp:744)
+            st.pt = int(
+                np.round((gd_abs + float(c1g[i])) * self.fs / 1e9)
+            ) % b.nobs
             st.pk = float(pk_mean[i])
             st.last_phi = float(last_phi_new[i])
             if st.is_first:

@@ -113,7 +113,13 @@ def gate_epochs(xval: np.ndarray, policy: GatingPolicy = GatingPolicy()):
 
 def trim_sample_loss(delay_ns: np.ndarray,
                      policy: GatingPolicy = GatingPolicy()) -> np.ndarray:
-    """Cut the series at the first loopback jump > 2 ns (``go_1s.m:94-101``)."""
+    """Cut the series at the first loopback jump > 2 ns (``go_1s.m:94-101``).
+
+    Faithful to the reference's guard: when the jump sits at the very
+    first step (``kk == 1``), its ``if (kk > 1)`` skips the trim and
+    the whole series passes through (``go_1s.m:98-100``); downstream
+    outlier NaN-ing absorbs it.
+    """
     jumps = np.flatnonzero(np.abs(np.diff(delay_ns)) > policy.loopback_jump_ns)
     if len(jumps) and jumps[0] > 0:
         return delay_ns[: jumps[0]]
@@ -447,6 +453,14 @@ def pair_rows_by_time(a_rows: np.ndarray, b_rows: np.ndarray,
 
     Returns (a, b, offset) truncated to a common window, or None if the
     offset exceeds ``max_offset_s``.
+
+    REFERENCE QUIRK (reproduced verbatim): the pseudo-time formula
+    weighs days by 24 but hours AND minutes both by 60
+    (``tempsop=((((m*31+d)*24)+h*60)+mi*60)+s``, ``tw.m:16-17`` — the
+    intended ``(((m*31+d)*24+h)*60+mi)*60+s`` was mis-parenthesized in
+    the reference), so the difference is NOT seconds; it is used only
+    as the row-shift count and the <180 pairing gate, exactly as the
+    reference uses it.
     """
     def pseudo_t(rows):
         return (

@@ -126,6 +126,11 @@ def _ranging_impl(
     cast to f32 (x scale) happens here, on device.
     """
     if iq.dtype == jnp.int8:
+        if scale is None:
+            raise ValueError(
+                "int8 iq requires the per-batch dequantization scale "
+                "(q = round(x/scale)); pass scale= to the step"
+            )
         iq = iq.astype(jnp.float32) * scale.astype(jnp.float32)
     elif iq.dtype == jnp.int16:
         # sc16 wire format shipped raw ("ship the bytes, dequant on

@@ -250,8 +250,13 @@ def refresh_df(d: jax.Array, fs: float, kbon: int, halfwidth: int = 3):
     ``kbon +/- halfwidth`` (``claudio_...separate.m:168-169``)."""
     n = d.shape[-1]
     d2 = squaring_spectrum(d)
-    window = jax.lax.dynamic_slice_in_dim(d2, kbon - halfwidth, 2 * halfwidth + 1)
-    idx = kbon - halfwidth + jnp.argmax(window)
+    # dynamic_slice clamps an out-of-range start silently; mirror the
+    # clamp when rebuilding the absolute index or a kbon within
+    # halfwidth of either spectrum edge reports a bin offset by the
+    # clamped amount (silently detuning the block)
+    start = jnp.clip(kbon - halfwidth, 0, n - (2 * halfwidth + 1))
+    window = jax.lax.dynamic_slice_in_dim(d2, start, 2 * halfwidth + 1)
+    idx = start + jnp.argmax(window)
     freq = jnp.asarray(fftfreq_shifted(n, fs), d2.dtype)
     return freq[idx] / 2.0, idx
 

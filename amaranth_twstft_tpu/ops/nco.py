@@ -37,19 +37,33 @@ def nco_wave(
     n: int,
     resol: int = 8,
     granularity: float = 1.0,
+    exact: bool = False,
 ) -> np.ndarray:
     """`n` NCO output samples at `tick_freq` for programmed `f_out` Hz.
 
     Accumulator sizing per ``NCO.py:12-15``: acc_size = ceil(log2(F/g)),
     gain_bits = ceil(log2(F)); the frequency control word is
-    ``round(f_out) * unit`` with unit = 2**ceil(log2(F^2/g)) / F, so the
-    average output frequency is exact up to the integer-unit rounding.
+    ``round(f_out) * unit`` with unit = 2**ceil(log2(F^2/g)) / F.
     Returns unsigned LUT values in [0, 2**resol - 1].
+
+    REFERENCE QUIRK (reproduced bit-faithfully, ``exact=False``): the
+    tutorial sizes the unit exponent as ceil(log2(F^2/g)) but the
+    accumulator as acc_size+gain_bits = ceil(log2(F/g))+ceil(log2(F));
+    whenever frac(log2 F) < 0.5 those differ by one bit and the
+    GATEWARE ITSELF outputs HALF the programmed frequency (e.g. at the
+    production 280 MHz tick: log2 F = 28.06, accumulator 58 bits, unit
+    2^57/F -> f_out/2).  The tutorial's own 2 MHz examples have
+    frac(log2 F) = 0.93 and mask it.  ``exact=True`` derives the unit
+    from the accumulator width (2**acc_bits / F) so the programmed
+    frequency is produced at every tick rate — the corrected design.
     """
     gain_bits = math.ceil(math.log2(tick_freq))
     acc_size = math.ceil(math.log2(tick_freq / granularity))
     acc_bits = acc_size + gain_bits
-    unit = int(2 ** math.ceil(math.log2(tick_freq * tick_freq / granularity)) / tick_freq)
+    if exact:
+        unit = int((1 << acc_bits) / tick_freq)
+    else:
+        unit = int(2 ** math.ceil(math.log2(tick_freq * tick_freq / granularity)) / tick_freq)
     fcw = int(round(f_out)) * unit
     lut = make_cosine_lut(resol)
     acc = (np.arange(n, dtype=np.uint64) * np.uint64(fcw)) & np.uint64(

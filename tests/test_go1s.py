@@ -258,3 +258,17 @@ def test_carrier_refined_products(session_dirs_phase, tmp_path):
     assert not os.path.exists(
         res2[0]["one_s_path"][:-3] + ".1sc"
     )
+
+
+def test_mjd_name_resolution_no_collision():
+    """Session file stems resolve same-day sessions 2 h apart (the
+    reference names with Octave num2str's ~9 significant digits; a
+    6-digit %g bucketed at 0.1 day and silently skipped the second
+    session of the day as 'already done')."""
+    from amaranth_twstft_tpu.models.go1s import _mjd_name
+
+    a = _mjd_name(60904.045710648)   # ~01:06 UTC session
+    b = _mjd_name(60904.129043981)   # ~03:06 UTC session (next cron slot)
+    assert a != b, (a, b)
+    # sub-second resolution at MJD magnitudes
+    assert _mjd_name(60904.5) != _mjd_name(60904.50002)

@@ -177,3 +177,24 @@ def test_gotracking_slope_noise_floor():
             < 3 * floor / np.sqrt(n)), out
     # production-L extrapolation sits at the campaign's ~1e-13 order
     assert out["floor_production_extrapolated"] < 3e-13
+
+
+def test_nco_tutorial_halving_quirk_and_exact_mode():
+    """The tutorial NCO's unit/accumulator width mismatch halves the
+    output frequency whenever frac(log2 tick_freq) < 0.5 (NCO.py:12-15;
+    at the production 280 MHz tick the gateware itself emits f/2) —
+    reproduced bit-faithfully, with exact=True as the corrected design."""
+    from amaranth_twstft_tpu.ops.nco import nco_wave
+
+    def peak_hz(wave, fs):
+        x = wave.astype(float) - wave.mean()
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return np.argmax(spec) * fs / len(x)
+
+    fs, f0, n = 280e6, 4.375e6, 1 << 14
+    assert abs(peak_hz(nco_wave(fs, f0, n), fs) - f0 / 2) < fs / n
+    assert abs(peak_hz(nco_wave(fs, f0, n, exact=True), fs) - f0) < fs / n
+    # the tutorial's own tick rate (frac(log2 F)=0.93): both agree
+    fs2, f02 = 2e6, 125e3
+    assert abs(peak_hz(nco_wave(fs2, f02, n), fs2) - f02) < fs2 / n
+    assert abs(peak_hz(nco_wave(fs2, f02, n, exact=True), fs2) - f02) < fs2 / n
