@@ -164,15 +164,18 @@ class EmulatedStation:
     time_s: int = 0
     pps_phase: int = 3
     calibrated: bool = False
-    _pending: bytes = b""
     _state: str = "WAITING"
     _recv_buf: list = field(default_factory=list)
     _recv_need: int = 0
 
     def step(self) -> None:
-        """Consume every pending host byte through the FSM."""
-        data = self._pending + self.transport.station_read_all()
-        self._pending = b""
+        """Consume every pending host byte through the FSM.
+
+        Mid-payload state persists across calls in ``_state``/
+        ``_recv_buf`` (the generated multi-byte-receive FSM states of
+        ``uart_wrapper.py:97-124``); every read byte is consumed.
+        """
+        data = self.transport.station_read_all()
         i = 0
         while i < len(data):
             b = data[i]
@@ -183,9 +186,6 @@ class EmulatedStation:
                 i += 1
                 if len(self._recv_buf) >= self._recv_need:
                     self._finish_recv()
-        # nothing buffered across calls unless mid-payload
-        if self._state != "WAITING" and i < len(data):
-            self._pending = data[i:]
 
     def _dispatch(self, b: int) -> int:
         try:
@@ -397,22 +397,56 @@ class StationController:
     def reset(self) -> None:
         self._send(SerialInCommand.DO_RESET)
 
-    def ask_calib(self) -> int:
-        """Returns the PPS phase (``twstft_config.py:100-103``)."""
-        self._send(SerialInCommand.ASK_CALIB)
+    def read_byte(self, timeout_s: float | None = None) -> bytes:
+        """One byte from the transport, or ``b""`` on timeout.
+
+        The reference's pyserial is BLOCKING (``new_serial`` sets no
+        timeout, ``twstft_config.py:131-134``); this module's transports
+        are non-blocking (``FdTransport`` VMIN=0, ``open_serial``
+        timeout=0), so waiting reads must poll.  ``timeout_s=None`` is a
+        single non-blocking attempt (the emulated-station fast path).
+        Also the helper CALIBRATION_DONE handlers use to consume the
+        PPS-phase payload byte (the reference's ``print_code`` reads it
+        inside the handler, ``twstft_config.py:108-114``).
+        """
+        deadline = (
+            None if timeout_s is None else time.monotonic() + timeout_s
+        )
         while True:
             b = self.t.read(1)
+            if b or deadline is None or time.monotonic() >= deadline:
+                return b
+            time.sleep(0.002)
+
+    def ask_calib(self, timeout_s: float = 5.0) -> int:
+        """Returns the PPS phase (``twstft_config.py:100-103``).
+
+        Polls up to ``timeout_s`` for CALIBRATION_DONE (the gateware
+        sweeps 32 IDELAY taps first) and then for the phase payload byte
+        (a separate UART frame ~87 us later at 115200 baud).
+        """
+        self._send(SerialInCommand.ASK_CALIB)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            b = self.read_byte(max(deadline - time.monotonic(), 0.0))
             if not b:
                 raise TimeoutError("no CALIBRATION_DONE received")
             if b[0] == SerialOutCode.CALIBRATION_DONE.value:
-                return self.t.read(1)[0]
+                p = self.read_byte(max(deadline - time.monotonic(), 0.01))
+                if not p:
+                    raise TimeoutError("no PPS-phase payload byte")
+                return p[0]
 
     def set_time_on_pps(self, get_time: Callable[[], int],
-                        settle_s: float = 0.0) -> None:
+                        settle_s: float = 0.0,
+                        timeout_s: float = 2.5) -> None:
         """PPS-synchronized time setting: wait for PPS_GOOD, settle, then
-        send the *next* second (``twstft_config.py:203-217``)."""
+        send the *next* second (``twstft_config.py:203-217``).  PPS_GOOD
+        arrives at most once per second, so the poll deadline defaults
+        past two PPS periods."""
+        deadline = time.monotonic() + timeout_s
         while True:
-            b = self.t.read(1)
+            b = self.read_byte(max(deadline - time.monotonic(), 0.0))
             if not b:
                 raise TimeoutError("no PPS_GOOD received")
             if b[0] == SerialOutCode.PPS_GOOD.value:
@@ -422,15 +456,23 @@ class StationController:
                 return
 
     def monitor(self, handlers: dict[SerialOutCode, list[Handler]],
-                max_events: int | None = None) -> int:
+                max_events: int | None = None,
+                idle_timeout_s: float | None = None) -> int:
         """Blocking dispatch loop (``twstft_config.py:116-129``).
 
         Returns the number of events dispatched (bounded by
-        ``max_events`` for testability; the reference loops forever).
+        ``max_events`` for testability; the reference loops forever;
+        ``idle_timeout_s`` keeps polling the non-blocking transports
+        that long between events).
+
+        Like the reference, CALIBRATION_DONE handlers must consume the
+        PPS-phase payload byte themselves via :meth:`read_byte`
+        (``print_code`` does exactly that, ``twstft_config.py:108-114``)
+        — otherwise the payload is decoded as the next status code.
         """
         n = 0
         while max_events is None or n < max_events:
-            b = self.t.read(1)
+            b = self.read_byte(idle_timeout_s)
             if not b:
                 break
             try:

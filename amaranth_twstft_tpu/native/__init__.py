@@ -32,6 +32,7 @@ _SOURCES = ["ingest.cpp", "matwriter.cpp", "mseq.cpp"]
 
 _lock = threading.Lock()
 _lib = None
+_build_failed = False
 HAVE_NATIVE = False
 
 
@@ -58,15 +59,22 @@ def _build() -> bool:
 
 def load():
     """Load (building if needed) the native library, or None."""
-    global _lib, HAVE_NATIVE
+    global _lib, HAVE_NATIVE, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
+        if _build_failed:
+            # a failed build stays failed for this process: callers hit
+            # load() per batch/file, and re-running two g++ attempts
+            # (120 s timeout each) on every call would turn the Python
+            # fallback path into minutes of repeated compiles
+            return None
         if not os.path.exists(_SO) or any(
             os.path.getmtime(os.path.join(_HERE, s)) > os.path.getmtime(_SO)
             for s in _SOURCES
         ):
             if not _build():
+                _build_failed = True
                 return None
         try:
             lib = ctypes.CDLL(_SO)

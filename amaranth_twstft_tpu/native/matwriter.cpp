@@ -47,7 +47,10 @@ void pad8(FILE *f, uint32_t nbytes) {
 int write_var(FILE *f, const char *name, const double *re, const double *im,
               int64_t n) {
     uint32_t name_len = (uint32_t)strlen(name);
-    auto padded = [](uint32_t b) { return (b + 7u) & ~7u; };
+    // uint64: a uint32 parameter would truncate (uint64)n*8 BEFORE the
+    // 4 GB body guard below, letting oversized vectors wrap the
+    // miMATRIX nbytes instead of returning -2
+    auto padded = [](uint64_t b) { return (b + 7u) & ~7ull; };
     uint64_t body = 0;
     body += 8 + 8;                      // array flags
     body += 8 + 8;                      // dims (2 x int32, padded)

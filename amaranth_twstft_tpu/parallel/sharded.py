@@ -105,9 +105,11 @@ def make_sharded_caf_step(
     Returns ``step(blocks, offsets, fcode, code_interp, shifts)`` where
 
     - ``blocks``: (n_time, epochs_per_block*L + halo) complex — contiguous
-      stream blocks, each already carrying ``halo`` trailing samples of
-      the next block *on host* OR zeros (the step re-fetches the halo via
-      ppermute regardless, so callers may pass zeros in the halo region),
+      stream blocks with ``halo`` trailing samples.  Interior shards
+      re-fetch their halo from the next shard via ppermute (callers may
+      zero those regions); the LAST shard — which has no successor —
+      uses its host-supplied trailing halo verbatim, so fill it with the
+      true stream continuation (or zeros at end of capture),
     - ``offsets``: (n_time,) int32 in [0, halo) — per-block epoch start
       (the slip re-seek state, ``claudio_...separate.m:180-186``),
     - ``shifts``: (n_hyp,) int32 Doppler spectrum-roll hypotheses,
@@ -127,11 +129,19 @@ def make_sharded_caf_step(
         off = offsets_l[0]
 
         # ---- overlap-save halo exchange (the `dold` carry) ----------
+        # interior shards fetch their halo from the NEXT shard's head;
+        # the LAST shard has no successor — the ring would hand it the
+        # FIRST shard's head (bytes from the start of the capture), so
+        # it uses the host-supplied trailing halo instead (the stream
+        # continuation when the ingest provides it, zeros otherwise)
         perm = [(i, (i - 1) % n_time) for i in range(n_time)]
         halo_recv = jax.lax.ppermute(
             block[:halo][None], t_axis, perm=perm
         )[0]
-        ext = jnp.concatenate([block[:block_len], halo_recv])
+        is_last = jax.lax.axis_index(t_axis) == n_time - 1
+        tail = jnp.where(is_last, block[block_len : block_len + halo],
+                         halo_recv)
+        ext = jnp.concatenate([block[:block_len], tail])
 
         # ---- epoch extraction at the slip offset --------------------
         d = jax.lax.dynamic_slice(ext, (off,), (block_len,)).reshape(

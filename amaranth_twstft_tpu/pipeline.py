@@ -301,13 +301,27 @@ def process_capture_overlapped(
             stats["bytes_shipped"] += d.nbytes
             dfv = jnp.asarray(df_full)
         else:
-            b = n
+            # remote/single-channel: pad the final partial batch like
+            # the dual-channel branch — a fresh (n, L, 2) shape would
+            # cost a fresh multi-minute compile through the relay
+            d = d[:n_chan]  # the f32 reader returns both channels
+            if n < batch_epochs:
+                d = np.concatenate(
+                    [d[:, :n],
+                     np.zeros((n_chan, batch_epochs - n, L, 2), d.dtype)],
+                    axis=1,
+                )
+            b = batch_epochs
             th2 = time.perf_counter()
-            iq = jnp.asarray(d[:n_chan, :n].reshape(n_chan * n, L, 2))
+            iq = jnp.asarray(
+                d[:n_chan, :batch_epochs].reshape(n_chan * batch_epochs, L, 2)
+            )
             stats["h2d_call_s"] += time.perf_counter() - th2
-            stats["bytes_shipped"] += n_chan * n * L * 2 * d.dtype.itemsize
+            stats["bytes_shipped"] += (
+                n_chan * batch_epochs * L * 2 * d.dtype.itemsize
+            )
             dfv = jnp.asarray(
-                np.repeat(np.asarray(dfs[:n_chan], np.float32), n)
+                np.repeat(np.asarray(dfs[:n_chan], np.float32), batch_epochs)
             )
         td = time.perf_counter()
         outs = step(iq, df_fixed=dfv, scale=scale)  # async dispatch

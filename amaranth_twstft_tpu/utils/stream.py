@@ -83,6 +83,12 @@ class MonitorServer:
                 conn.close()
                 continue
             with self._lock:
+                if self._closed:
+                    # close() ran between accept() and here: this
+                    # subscriber would never see the 'end' message and
+                    # would hang until its own recv timeout
+                    conn.close()
+                    return
                 self._clients.append(conn)
 
     @property

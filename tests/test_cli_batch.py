@@ -512,3 +512,30 @@ def test_every_subcommand_help_exits_clean(capsys):
         assert e.value.code == 0, cmd
         out = capsys.readouterr().out
         assert out.startswith(f"usage: twstft-tpu {cmd}"), (cmd, out[:60])
+
+
+def test_overlapped_remote_partial_final_batch(small_cfg, tmp_path):
+    """Remote mode pads the final partial batch to the compiled shape
+    (a fresh tail shape would recompile); all epochs come back and the
+    padding rows are dropped."""
+    code = str(tmp_path / "code.bin")
+    write_prn_file(code, small_cfg.bit_len, small_cfg.code_len, small_cfg.taps)
+    meas, ref = synthesize_capture(
+        small_cfg,
+        [ChannelSim(431.4, 130.0, amplitude=900, noise_sigma=250),
+         ChannelSim(12.75, 5.0, amplitude=2000, noise_sigma=100)],
+        n_seconds=2, seed=21,
+    )
+    cap = str(tmp_path / "capp16.bin")
+    io.write_sc16(cap, meas, ref)
+    # 100 epochs, batches of 30 -> final batch of 10 (padded)
+    for dtype in ("float32", "sc16", "int8"):
+        out = pipeline.process_capture_overlapped(
+            cap, code, small_cfg, ProcessingConfig(hamming_window=True),
+            remote=True, batch_epochs=30, ingest_dtype=dtype,
+            out_mat=str(tmp_path / f"rp_{dtype}.mat"),
+        )
+        ind = np.asarray(out["ch1"]["indice"])
+        assert len(ind) == 100, (dtype, len(ind))
+        d1 = float(np.median(ind + out["ch1"]["correction"])) / 3.0
+        assert abs(d1 - 431.4) < 0.1, (dtype, d1)

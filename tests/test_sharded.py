@@ -84,9 +84,11 @@ def test_slip_offsets_use_halo(setup):
     mesh = make_mesh(nt, 2)
     step = make_sharded_caf_step(mesh, cfg.fs, L, epb, halo, caf_chunk=3)
     blocks = _blocks(stream, nt, epb, L, halo)
-    # zero the host-provided halo region: the step must fetch it from the
-    # next shard via ppermute
-    blocks[:, epb * L :] = 0
+    # zero the INTERIOR shards' host halos: the step must fetch those
+    # from the next shard via ppermute.  The LAST shard keeps its
+    # host-supplied halo (the true continuation) — it has no successor,
+    # and the ring must NOT hand it the first shard's head
+    blocks[:-1, epb * L :] = 0
     offsets = np.asarray([0, 40, 333, 999], np.int32)
     args = shard_blocks(
         mesh, jnp.asarray(blocks), jnp.asarray(offsets), fcode, code3, shifts
