@@ -382,6 +382,9 @@ def _dispatch(args) -> int:
                     file=sys.stderr,
                 )
                 ingest = "float32"
+            kw = {}
+            if args.batch_epochs:
+                kw["batch_epochs"] = args.batch_epochs
             out = pipeline.process_capture_overlapped(
                 args.capture,
                 args.code,
@@ -391,9 +394,17 @@ def _dispatch(args) -> int:
                 foffset_hz=args.foffset,
                 ingest_dtype=ingest,
                 parity_ns=args.parity_ns,
+                **kw,
             )
             print(f"timing={out['timing']}", file=sys.stderr)
         else:
+            if args.parity_ns is not None or args.batch_epochs:
+                print(
+                    "note: --parity-ns/--batch-epochs apply to the "
+                    "--fast/--sharded pipelines; the plain path computes "
+                    "at full host precision",
+                    file=sys.stderr,
+                )
             from amaranth_twstft_tpu.models import goranging
 
             from amaranth_twstft_tpu.config import ProcessingConfig
@@ -598,22 +609,35 @@ def _dispatch(args) -> int:
                     _time.sleep(0.05)
 
         fs = int(args.fs)
+        # each tracked second wants fs + nobs samples (the receivers pad
+        # a shorter tail), so second s is processable once (s+1)*fs
+        # samples exist — gating on 2*fs dropped the last second of
+        # every capture and re-read each byte twice
+        max_nobs = max(
+            int(round(args.fs / c.chip_rate)) * c.code_len for c in chans
+        )
         s = 0
         idle = 0.0
+        last_total = -1
         try:
             while True:
                 total = io.n_samples_sc16(args.capture, channels=2)
-                avail = total // fs - 1  # each second needs fs+nobs samples
+                if total > last_total:
+                    # --follow idleness = no FILE GROWTH (the help's
+                    # contract), not no-new-second: a slower-than-real-
+                    # time writer must not end the acquisition
+                    idle = 0.0
+                    last_total = total
                 if args.seconds and s >= args.seconds:
                     break
-                if s >= avail:
+                if total < (s + 1) * fs:
                     if not args.follow or idle >= args.idle_timeout:
                         break
                     _time.sleep(0.2)
                     idle += 0.2
                     continue
-                idle = 0.0
-                d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, 2 * fs,
+                n_take = min(fs + max_nobs, total - s * fs)
+                d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, n_take,
                                            channels=2)
                 if d.shape[1] == 0:
                     break
@@ -697,26 +721,36 @@ def _dispatch(args) -> int:
             print("# epoch ch delay_samp df_hz snr_db cn0_dbhz "
                   "| track: s phys PRN fc phi cnt gd dg sdgd Pk Pn",
                   flush=True)
-            for msg in connect_monitor(host or "127.0.0.1", int(port),
-                                       timeout_s=args.timeout + 30.0):
-                if msg.get("type") == "row":
-                    print(
-                        f"{msg['epoch']:6d} {msg['ch']} "
-                        f"{msg['delay_samp']:12.4f} {msg['df_hz']:9.2f} "
-                        f"{msg['snr_db']:7.2f} {msg['cn0_dbhz']:6.2f}",
-                        flush=True,
-                    )
-                elif msg.get("type") == "track":
-                    # dllpll --serve reports (the rxcomplex row fields)
-                    print(
-                        f"{msg['second']} {msg['physical']} "
-                        f"PRN{msg['prn']} {msg['fc_hz']:14.6f} "
-                        f"{msg['phi_cycles']:11.8f} {msg['cnt']:3d} "
-                        f"{msg['gd_ns']:14.6f} {msg['dg_ns_per_s']:11.6f} "
-                        f"{msg['sdgd_ns']:8.4f} {msg['pk_dbm']:7.3f} "
-                        f"{msg['pnoise_dbm']:7.3f}",
-                        flush=True,
-                    )
+            try:
+                for msg in connect_monitor(host or "127.0.0.1", int(port),
+                                           timeout_s=args.timeout + 30.0):
+                    if msg.get("type") == "row":
+                        print(
+                            f"{msg['epoch']:6d} {msg['ch']} "
+                            f"{msg['delay_samp']:12.4f} {msg['df_hz']:9.2f} "
+                            f"{msg['snr_db']:7.2f} {msg['cn0_dbhz']:6.2f}",
+                            flush=True,
+                        )
+                    elif msg.get("type") == "track":
+                        # dllpll --serve reports (the rxcomplex row fields)
+                        print(
+                            f"{msg['second']} {msg['physical']} "
+                            f"PRN{msg['prn']} {msg['fc_hz']:14.6f} "
+                            f"{msg['phi_cycles']:11.8f} {msg['cnt']:3d} "
+                            f"{msg['gd_ns']:14.6f} "
+                            f"{msg['dg_ns_per_s']:11.6f} "
+                            f"{msg['sdgd_ns']:8.4f} {msg['pk_dbm']:7.3f} "
+                            f"{msg['pnoise_dbm']:7.3f}",
+                            flush=True,
+                        )
+            except (ConnectionRefusedError, ConnectionResetError) as e:
+                # consumers routinely start before/around producers
+                print(f"monitor --connect: {e} (is the producer "
+                      f"--serve-ing on {args.connect}?)", flush=True)
+                return 1
+            except (TimeoutError, OSError) as e:
+                print(f"monitor --connect: {e}", flush=True)
+                return 1
             return 0
         if not args.capture or not args.code:
             print("monitor: capture and code are required unless --connect",

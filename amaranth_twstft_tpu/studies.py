@@ -36,6 +36,7 @@ __all__ = [
     "code_length_study",
     "timing_interpolation_study",
     "analyse_satre_series",
+    "f16_ingest_error_study",
     "gotracking_slope_study",
 ]
 
@@ -473,6 +474,15 @@ def f16_ingest_error_study(
         def _ifft(x):
             return torch.fft.ifft(torch.from_numpy(x), dim=-1).numpy()
     except Exception:  # noqa: BLE001
+        # the f32/int8 chains must run in REAL float32 arithmetic; old
+        # numpy upcasts complex64 FFTs to complex128, which would make
+        # this study measure quantization only and pass its float32
+        # bound vacuously
+        if np.fft.fft(np.ones(2, np.complex64)).dtype != np.complex64:
+            raise RuntimeError(
+                "f16_ingest_error_study needs a float32-preserving FFT "
+                "(torch, or numpy >= 2.0)"
+            )
 
         def _fft(x):
             return np.fft.fft(x, axis=-1)

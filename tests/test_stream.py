@@ -143,9 +143,16 @@ def test_monitor_serve_two_connected_consumers(small_cfg, tmp_path, capsys):
         retry(attempt)
 
     def consumer_cli():
-        cli_rc.append(retry(lambda: cli.main(
-            ["monitor", "--connect", f"127.0.0.1:{port}", "--timeout", "10"]
-        )))
+        # --connect reports a refused connection as rc=1 (no traceback),
+        # so retry on the return code until the producer's server is up
+        rc = 1
+        for _ in range(200):
+            rc = cli.main(["monitor", "--connect",
+                           f"127.0.0.1:{port}", "--timeout", "10"])
+            if rc == 0:
+                break
+            threading.Event().wait(0.05)
+        cli_rc.append(rc)
 
     def producer():
         # --serve-min-clients 2: both subscribers see the stream head
@@ -166,7 +173,11 @@ def test_monitor_serve_two_connected_consumers(small_cfg, tmp_path, capsys):
     assert cli_rc == [0]
 
     printed = capsys.readouterr().out.strip().splitlines()
-    local_rows = [ln.split() for ln in printed if not ln.startswith("#")]
+    # skip headers and the consumer's retry-phase "connection refused"
+    # messages; keep only numeric data rows
+    local_rows = [ln.split() for ln in printed
+                  if ln and not ln.startswith("#")
+                  and ln.split()[0].lstrip("-").isdigit()]
     # raw consumer: hello first, end last, rows + one spectrum per batch
     msgs = raw_msgs[0]
     assert msgs[0]["type"] == "hello" and msgs[0]["channels"] == 2
