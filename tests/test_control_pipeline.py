@@ -317,3 +317,29 @@ def test_station_protocol_over_wire_transport():
     # the link recovers: the next full command lands
     ctl.set_time(17)
     assert station.time_s == 17
+
+
+def test_calibration_bench_over_8e1_wire():
+    """The PPS calibration bench through the LINE-LEVEL 8E1 codec: every
+    ask_calib round trip (command byte out, CALIBRATION_DONE + phase
+    payload back) crosses the encoded bit stream, exercising the
+    two-frame payload polling over the vendored serial core's wire
+    format end to end."""
+    from amaranth_twstft_tpu.control import (
+        EmulatedStation,
+        PpsCalibrationBench,
+        StationController,
+        WireTransport,
+    )
+
+    t = WireTransport(oversample=2)
+    st = EmulatedStation(t)
+    ctl = StationController(t, station=st)
+    bench = PpsCalibrationBench(st, ctl, seed=7)
+    rows = bench.sweep(np.arange(0.0, 360.0, 6.0), repeats=3)
+    med = np.array([r[1] for r in rows])
+    # the staircase is visible even at the coarse sweep, and nothing on
+    # the wire corrupted (no line errors, phases within [0, cycles))
+    assert t.line_errors == []
+    assert med.min() >= 0 and med.max() < 28
+    assert len(set(med.astype(int))) >= 20
