@@ -166,12 +166,7 @@ def test_pps_calibration_bench_sweep():
     zones at the step boundaries."""
     import numpy as np
 
-    from amaranth_twstft_tpu.control import (
-        EmulatedStation,
-        LoopbackTransport,
-        PpsCalibrationBench,
-        StationController,
-    )
+    from amaranth_twstft_tpu.control import PpsCalibrationBench
 
     t = LoopbackTransport()
     st = EmulatedStation(t)
@@ -325,12 +320,7 @@ def test_calibration_bench_over_8e1_wire():
     payload back) crosses the encoded bit stream, exercising the
     two-frame payload polling over the vendored serial core's wire
     format end to end."""
-    from amaranth_twstft_tpu.control import (
-        EmulatedStation,
-        PpsCalibrationBench,
-        StationController,
-        WireTransport,
-    )
+    from amaranth_twstft_tpu.control import PpsCalibrationBench, WireTransport
 
     t = WireTransport(oversample=2)
     st = EmulatedStation(t)

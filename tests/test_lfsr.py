@@ -98,7 +98,9 @@ def test_numpy_search_matches_native_and_oracle():
     # cross-check a few against the pure-Python oracle
     for t in got[:3]:
         assert _is_mseq_py(10, t)
-    assert not _is_mseq_py(10, got[0] + 2) or (got[0] + 2) in got
+    # taps=6 is verifiably NOT maximal-length for bit_len=10
+    assert not _is_mseq_py(10, 6)
+    assert 6 not in got
 
 
 def test_taps_cache_autofill_17(tmp_path):

@@ -99,7 +99,7 @@ def test_native_mat_reload_through_loader(tmp_path, rng):
     np.testing.assert_allclose(back["snr1_db"], 12.0)
 
 
-def test_q8_reader_roundtrip_and_select(tmp_path, rng):
+def test_q8_reader_roundtrip_and_select(tmp_path, rng, monkeypatch):
     """int8 epoch reader: exact-scale quantization reconstructs the int16
     samples to half a step, and select=c extracts exactly channel c's
     I/Q columns (the remote-mode transfer format)."""
@@ -117,9 +117,7 @@ def test_q8_reader_roundtrip_and_select(tmp_path, rng):
     p = str(tmp_path / "q8.bin")
     raw.tofile(p)
 
-    import os
-
-    os.environ.pop("TWSTFT_Q8_POW2", None)
+    monkeypatch.delenv("TWSTFT_Q8_POW2", raising=False)
     smax = max(int(raw.max()), -int(raw.min()))  # abs() wraps on -32768
     q, m, scale = io.read_sc16_epochs_q8(p, 0, n, L, channels=2)
     assert m == n and q.shape == (n, L, 4) and q.dtype == np.int8
@@ -130,16 +128,14 @@ def test_q8_reader_roundtrip_and_select(tmp_path, rng):
 
     # TWSTFT_Q8_POW2=1: integer-shift path, power-of-2 scale, same
     # half-step reconstruction bound
-    os.environ["TWSTFT_Q8_POW2"] = "1"
-    try:
-        q2, m2p, s2 = io.read_sc16_epochs_q8(p, 0, n, L, channels=2)
-        assert m2p == n
-        assert s2 == 2.0 ** round(np.log2(s2))  # exact power of two
-        back2 = q2.reshape(n * L, 4).astype(np.float64) * s2
-        assert np.abs(back2 - raw).max() <= 0.5 * s2 + 1e-9
-        assert s2 < 2 * max(smax, 1) / 127.0  # <=2x exact step
-    finally:
-        os.environ.pop("TWSTFT_Q8_POW2", None)
+    monkeypatch.setenv("TWSTFT_Q8_POW2", "1")
+    q2, m2p, s2 = io.read_sc16_epochs_q8(p, 0, n, L, channels=2)
+    assert m2p == n
+    assert s2 == 2.0 ** round(np.log2(s2))  # exact power of two
+    back2 = q2.reshape(n * L, 4).astype(np.float64) * s2
+    assert np.abs(back2 - raw).max() <= 0.5 * s2 + 1e-9
+    assert s2 < 2 * max(smax, 1) / 127.0  # <=2x exact step
+    monkeypatch.delenv("TWSTFT_Q8_POW2")
 
     for sel in (0, 1):
         qs, ms, ss = io.read_sc16_epochs_q8(p, 0, n, L, channels=2,
@@ -156,7 +152,7 @@ def test_q8_reader_roundtrip_and_select(tmp_path, rng):
     assert m2 == 0 and q2.shape[0] == 0
 
 
-def test_native_quantizer_bitexact_vs_python(tmp_path, rng):
+def test_native_quantizer_bitexact_vs_python(tmp_path, rng, monkeypatch):
     """twstft_quantize_q8 (threaded C++, the host-convert term of the
     v5e-16 model) is bit-for-bit identical to the Python q8 paths in
     every mode (exact/pow2 x all-channels/select), including at int16
@@ -170,25 +166,21 @@ def test_native_quantizer_bitexact_vs_python(tmp_path, rng):
 
     for pow2 in (False, True):
         if pow2:
-            os.environ["TWSTFT_Q8_POW2"] = "1"
+            monkeypatch.setenv("TWSTFT_Q8_POW2", "1")
         else:
-            os.environ.pop("TWSTFT_Q8_POW2", None)
-        try:
-            for sel in (None, 0, 1):
-                os.environ["TWSTFT_Q8_NATIVE"] = "0"
-                qp, mp, sp = io.read_sc16_epochs_q8(
-                    p, L, n - 1, L, channels=2, select=sel
-                )
-                os.environ["TWSTFT_Q8_NATIVE"] = "1"
-                qn, mn, sn = io.read_sc16_epochs_q8(
-                    p, L, n - 1, L, channels=2, select=sel
-                )
-                assert mp == mn == n - 1
-                assert sp == sn, (pow2, sel, sp, sn)
-                np.testing.assert_array_equal(qp, qn)
-        finally:
-            os.environ.pop("TWSTFT_Q8_POW2", None)
-            os.environ.pop("TWSTFT_Q8_NATIVE", None)
+            monkeypatch.delenv("TWSTFT_Q8_POW2", raising=False)
+        for sel in (None, 0, 1):
+            monkeypatch.setenv("TWSTFT_Q8_NATIVE", "0")
+            qp, mp, sp = io.read_sc16_epochs_q8(
+                p, L, n - 1, L, channels=2, select=sel
+            )
+            monkeypatch.setenv("TWSTFT_Q8_NATIVE", "1")
+            qn, mn, sn = io.read_sc16_epochs_q8(
+                p, L, n - 1, L, channels=2, select=sel
+            )
+            assert mp == mn == n - 1
+            assert sp == sn, (pow2, sel, sp, sn)
+            np.testing.assert_array_equal(qp, qn)
 
 
 def test_native_quantizer_fused_decimation(tmp_path, rng):

@@ -70,8 +70,12 @@ def test_slow_consumer_is_dropped_not_blocking():
     """A subscriber that never reads is dropped once its socket buffer
     fills; the producer keeps publishing (pub/sub conflate policy)."""
     with MonitorServer(send_timeout_s=0.2) as srv:
-        dead = socket.create_connection((srv.host, srv.port))
+        # shrink the receive window BEFORE connect: set after the
+        # handshake the kernel may keep the already-advertised window
+        # and buffer everything (environment-dependent flake)
+        dead = socket.socket()
         dead.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        dead.connect((srv.host, srv.port))
         while srv.n_clients < 1:
             threading.Event().wait(0.02)
         big = {"type": "row", "pad": "x" * 65536}

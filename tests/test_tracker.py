@@ -119,7 +119,7 @@ def test_120_channels_on_virtual_mesh(small_cfg):
             [ChannelSim(delay_samples=delays[(phys, 0)],
                         doppler_hz=dops[(phys, 0)],
                         amplitude=900, noise_sigma=50.0)],
-            n_seconds=4,
+            n_seconds=5,
             seed=7 if phys == "A" else 8,
             extra_emissions=emissions[1:],
         )
@@ -159,7 +159,7 @@ def test_real_input_mode(small_cfg):
         small_cfg,
         [ChannelSim(delay_samples=321.0, doppler_hz=f0, amplitude=1200,
                     noise_sigma=80.0)],
-        n_seconds=4,
+        n_seconds=5,
         seed=11,
     )
     real_stream = np.real(stream)
