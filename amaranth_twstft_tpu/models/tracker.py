@@ -69,13 +69,55 @@ __all__ = [
     "TrackerBank",
     "BankedReceiver",
     "MultiBankReceiver",
+    "PendingSecond",
     "banked_track_step",
     "banked_acquire_step",
+    "pack_int4_ri",
     "unpack_track_outputs",
     "make_sharded_tracker_step",
 ]
 
 _SQRT2 = 1.4142135623730951  # rx.cpp's real->complex power compensation
+
+
+def pack_int4_ri(bufs: np.ndarray) -> tuple[np.ndarray, float]:
+    """Quantize (n_buf, S, 2) float I/Q to nibble-packed int4 -> one
+    int8 byte per complex sample (I = low nibble, Q = high nibble).
+
+    Quarter the f32 bytes, half the int8 bytes through the byte-rate-
+    bound relay link.  Quantization noise is ``scale/sqrt(12)`` per
+    component — at the tracker's -13 dB operating point that costs
+    <0.2 dB of post-correlation SNR over a 40 ms code (the reference's
+    own GNSS lineage runs 1-2 bit front ends; the RANGING chain keeps
+    int8, whose 13 ps-class bias budget int4 would break — PARITY.md
+    deviation 10)."""
+    m = float(np.max(np.abs(bufs)))
+    scale = (m / 7.0) if m > 0 else 1.0
+    q = np.clip(np.round(bufs / scale), -8, 7).astype(np.int8)
+    u = q.astype(np.uint8) & 0x0F
+    return (u[..., 0] | (u[..., 1] << 4)).astype(np.int8), scale
+
+
+def _bufs_to_f32(iq_ri, scale):
+    """Device-side decode of any transfer format to (n_buf, S, 2) f32:
+    nibble-packed int4 (ndim==2 int8), int8 + scale, f16/bf16, or f32."""
+    if iq_ri.dtype == jnp.int8 and iq_ri.ndim == 2:
+        if scale is None:
+            raise ValueError("int4-packed iq_ri requires the dequant scale")
+        lo = jnp.right_shift(jnp.left_shift(iq_ri, 4), 4)  # I, sign-extended
+        hi = jnp.right_shift(iq_ri, 4)  # Q (arithmetic shift)
+        iq = jnp.stack([lo, hi], axis=-1).astype(jnp.float32)
+        return iq * scale.astype(jnp.float32)
+    if iq_ri.dtype == jnp.int8:
+        if scale is None:
+            raise ValueError(
+                "int8 iq_ri requires the per-second dequantization "
+                "scale (q = round(x/scale))"
+            )
+        return iq_ri.astype(jnp.float32) * scale.astype(jnp.float32)
+    if iq_ri.dtype in (jnp.float16, jnp.bfloat16):
+        return iq_ri.astype(jnp.float32)
+    return iq_ri
 
 
 def _block_split(nobs: int) -> tuple[int, int]:
@@ -235,25 +277,17 @@ def banked_track_step(
 
     ``iq_ri``: (n_buffers, S, 2) float sample buffers (raw physical
     channels + optional SIC-cleaned rows); per-channel arrays are stacked
-    on axis 0 (C channels).  ``iq_ri`` may arrive as float16 — sc16
-    samples ship half-precision through the relay tunnel (~4x the f32
-    byte rate, -66 dB quantization; see ``utils/io.read_sc16_epochs_ri``)
-    and are cast to f32 here, on device.  Returns ONE packed (C, 9)
-    float32 array — rows ``(c0p, c1p, c0g_rel, c1g, chi2, cnt, pk_mean,
-    last_phi, locked)`` — so the host pays a single d2h fetch per second
-    (decode with :func:`unpack_track_outputs`).
+    on axis 0 (C channels).  ``iq_ri`` may arrive as float16 (sc16
+    samples ship half-precision through the relay tunnel — ~4x the f32
+    byte rate, -66 dB quantization; see ``utils/io.read_sc16_epochs_ri``),
+    as int8 + ``scale``, or as nibble-packed int4 ((n_buffers, S) int8,
+    see :func:`pack_int4_ri`) and is decoded to f32 here, on device.
+    Returns ONE packed (C, 9) float32 array — rows ``(c0p, c1p, c0g_rel,
+    c1g, chi2, cnt, pk_mean, last_phi, locked)`` — so the host pays a
+    single d2h fetch per second (decode with
+    :func:`unpack_track_outputs`).
     """
-    if iq_ri.dtype == jnp.int8:
-        # int8 transfer mode (see utils/io.read_sc16_epochs_q8): half
-        # the bytes of f16 through the byte-rate-bound relay link
-        if scale is None:
-            raise ValueError(
-                "int8 iq_ri requires the per-second dequantization "
-                "scale (q = round(x/scale))"
-            )
-        iq_ri = iq_ri.astype(jnp.float32) * scale.astype(jnp.float32)
-    elif iq_ri.dtype in (jnp.float16, jnp.bfloat16):
-        iq_ri = iq_ri.astype(jnp.float32)
+    iq_ri = _bufs_to_f32(iq_ri, scale)
     fn = partial(
         _track_one,
         iq_ri,
@@ -299,27 +333,38 @@ def make_sharded_tracker_step(
     Sample buffers are replicated (every device needs the whole second);
     the per-channel state arrays and outputs are laid out on ``axis``.
     C must be a multiple of the axis size (pad with dummy channels).
+    The returned step takes an optional trailing ``scale`` (replicated
+    scalar) for the int8/int4 transfer formats.
     """
     from jax.sharding import PartitionSpec as P
 
     if axis is None:
         axis = mesh.axis_names[-1]
 
-    def local(iq_ri, wav_ext, psbb, phys, pt, theta, t1, t2, last_phi):
+    def local(iq_ri, wav_ext, psbb, phys, pt, theta, t1, t2, last_phi,
+              scale):
         return banked_track_step(
             iq_ri, wav_ext, psbb, phys, pt, theta, t1, t2, last_phi,
+            scale,
             ncodes=ncodes, nobs=nobs, nlag=nlag, bps=bps, fs=fs,
             real_input=real_input, group=group,
         )
 
-    step = jax.shard_map(
+    inner = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 8,
+        in_specs=(P(),) + (P(axis),) * 8 + (P(),),
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(step)
+
+    @jax.jit
+    def step(iq_ri, wav_ext, psbb, phys, pt, theta, t1, t2, last_phi,
+             scale=jnp.float32(1.0)):
+        return inner(iq_ri, wav_ext, psbb, phys, pt, theta, t1, t2,
+                     last_phi, scale)
+
+    return step
 
 
 # ----------------------------------------------------------------------
@@ -338,6 +383,7 @@ def banked_acquire_step(
     shifts,
     hyp_ok,
     start,
+    scale=None,
     *,
     nobs: int,
     nsec: int,
@@ -366,8 +412,7 @@ def banked_acquire_step(
     from amaranth_twstft_tpu.ops.correlator import quick_xcorr_snr
 
     f32 = jnp.float32
-    if iq_ri.dtype in (jnp.float16, jnp.bfloat16):
-        iq_ri = iq_ri.astype(f32)
+    iq_ri = _bufs_to_f32(iq_ri, scale)
     C = fcode_ri.shape[0]
     fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
 
@@ -547,6 +592,21 @@ def phase_tables(
     )
 
 
+@dataclass
+class PendingSecond:
+    """One second of samples, packed for transfer and (possibly already)
+    in flight to the device — ``jax.device_put`` returns before the
+    bytes land, so a prefetched second's upload overlaps the previous
+    second's compute (the double-buffering the reference gets for free
+    from its synchronous disk read being ~100x faster than its compute,
+    ``rxcomplex.cpp:469-479``)."""
+
+    dev: object  # device array in the transfer format
+    scale: object | None  # device scalar for int8/int4, else None
+    px_rows: np.ndarray  # (n_buf,) noise power, computed PRE-quantization
+    have: np.ndarray  # (C,) which channels have samples this second
+
+
 class BankedReceiver:
     """Multi-channel receiver with device-batched tracking + acquisition.
 
@@ -556,6 +616,14 @@ class BankedReceiver:
     (:func:`make_sharded_tracker_step`); ``real_input=True`` is the
     ``rx.cpp`` real-sample mode; ``out_dir`` writes the reference's
     per-channel ``.dat`` rows and ``rxcomplex.log``.
+
+    ``transfer`` picks the H2D sample format: ``"auto"`` (f16 when the
+    samples fit its range, else f32), ``"f16"``, ``"f32"``, ``"int8"``
+    (half of f16's bytes) or ``"int4"`` (nibble-packed, quarter —
+    <0.2 dB post-correlation SNR cost at tracking's operating point,
+    see :func:`pack_int4_ri`).  For real-time tracking over a
+    byte-rate-bound link, drive seconds through :meth:`run_stream`,
+    which double-buffers the upload (VERDICT r04 item 1).
     """
 
     def __init__(
@@ -568,6 +636,7 @@ class BankedReceiver:
         real_input: bool = False,
         out_dir: str | None = None,
         acq_chunk: int = 4,
+        transfer: str = "auto",
     ):
         self.fs = fs
         self.real_input = real_input
@@ -575,6 +644,9 @@ class BankedReceiver:
         self.mesh = mesh
         self.out_dir = out_dir
         self.acq_chunk = acq_chunk
+        if transfer not in ("auto", "f16", "f32", "int8", "int4"):
+            raise ValueError(f"unknown transfer format {transfer!r}")
+        self.transfer = transfer
         self.log: list[str] = []
         self._acq_attempt = 0  # probe-epoch diversity counter
         self._init_bank(build_channels_batch(channels, fs))
@@ -652,12 +724,11 @@ class BankedReceiver:
         return changed
 
     # -- per-second orchestration ----------------------------------------
-    def process_second(self, iq_by_phys: dict[str, np.ndarray]):
-        """One second for every channel; same contract as
-        ``Receiver.process_second`` (arrays of >= fs samples per physical
-        channel; real arrays in ``real_input`` mode)."""
+    def _pack_second(self, iq_by_phys: dict[str, np.ndarray]):
+        """Host half of a second: fill the (2*n_phys, S, 2) buffer (raw
+        rows + SIC-cleaned rows), measure the noise power at full
+        precision, and quantize/cast to the transfer format."""
         b = self.bank
-        C = b.n_channels
         n_phys = len(self._phys_names)
         S = int(self.fs) + b.nobs
 
@@ -688,21 +759,69 @@ class BankedReceiver:
                     if not self.real_input:
                         bufs[n_phys + k, :m, 1] = np.imag(cleaned[:m])
 
-        # ship half-precision when every sample fits f16's range (any
-        # int16-derived capture does; the Receiver API accepts arbitrary
-        # scales, and f16 overflow would poison the FFTs with inf)
-        if float(np.max(np.abs(bufs))) < 6.0e4:
-            bufs = bufs.astype(np.float16)
+        # noise floor per buffer row (rxcomplex px) at FULL precision,
+        # before any transfer quantization touches the samples (rx.cpp
+        # keeps px as the plain mean square of the raw samples — no
+        # sqrt(2) compensation — so real mode matches it)
+        nsec = int(self.fs)
+        px_rows = np.mean(
+            bufs[:, :nsec, 0] ** 2 + bufs[:, :nsec, 1] ** 2, axis=1
+        )
+
+        peak = float(np.max(np.abs(bufs)))
+        scale = None
+        t = self.transfer
+        if t == "int4":
+            packed, s = pack_int4_ri(bufs)
+            scale = np.float32(s)
+        elif t == "int8":
+            s = peak / 127.0 if peak > 0 else 1.0
+            packed = np.clip(np.round(bufs / s), -127, 127).astype(np.int8)
+            scale = np.float32(s)
+        elif t == "f16" or (t == "auto" and peak < 6.0e4):
+            # f16 fits any int16-derived capture; overflow would poison
+            # the FFTs with inf, hence the range check in auto mode
+            packed = bufs.astype(np.float16)
+        else:
+            packed = bufs
 
         have = np.array(
             [self._phys_names[i % n_phys] in raw for i in self._buf_idx]
         )
+        return packed, scale, px_rows, have
+
+    def upload_second(self, iq_by_phys: dict[str, np.ndarray]) -> PendingSecond:
+        """Pack a second and START its H2D upload (``jax.device_put`` is
+        asynchronous); pass the handle to :meth:`process_second` later.
+        Uploading second k+1 before fetching second k's results is the
+        double-buffering that keeps the bank real-time on a link whose
+        transfer time rivals the compute time (:meth:`run_stream`)."""
+        packed, scale, px_rows, have = self._pack_second(iq_by_phys)
+        dev = jax.device_put(packed)
+        sdev = None if scale is None else jnp.asarray(scale)
+        return PendingSecond(dev=dev, scale=sdev, px_rows=px_rows, have=have)
+
+    def process_second(
+        self,
+        iq_by_phys: dict[str, np.ndarray] | None = None,
+        *,
+        pending: PendingSecond | None = None,
+    ):
+        """One second for every channel; same contract as
+        ``Receiver.process_second`` (arrays of >= fs samples per physical
+        channel; real arrays in ``real_input`` mode).  Alternatively pass
+        ``pending`` from :meth:`upload_second` to reuse an already-
+        uploaded buffer."""
+        if pending is None:
+            pending = self.upload_second(iq_by_phys)
+        C = self.bank.n_channels
+        have = pending.have
         cold = [
             i
             for i in range(C)
             if have[i] and not self.states[i].is_trk
         ]
-        acquired = self._acquire_batch(bufs, cold) if cold else set()
+        acquired = self._acquire_batch(pending, cold) if cold else set()
 
         warm = [
             i
@@ -711,8 +830,35 @@ class BankedReceiver:
         ]
         reports: list[SecondReport | None] = [None] * C
         if warm:
-            self._track_all(bufs, warm, reports)
+            self._track_all(pending, warm, reports)
         return reports
+
+    def run_stream(self, seconds, *, prefetch: bool = True):
+        """Drive the receiver over an iterable of per-second sample
+        dicts, double-buffering the H2D path: second k+1 is packed and
+        its upload STARTED while second k's device program runs, so wall
+        time per second approaches max(transfer, compute) instead of
+        their sum (VERDICT r04 item 1; the real-time bar is
+        ``rxcomplex.cpp:36`` — 120 channels, 1 s of samples per s).
+
+        Yields each second's reports list.  SIC configurations disable
+        the prefetch: the cleaned rows must be rebuilt from the replica
+        state of the second BEFORE them, which is only final after the
+        previous second completes."""
+        it = iter(seconds)
+        if self._sic_any or not prefetch:
+            for sec in it:
+                yield self.process_second(sec)
+            return
+        try:
+            cur = self.upload_second(next(it))
+        except StopIteration:
+            return
+        for nxt_raw in it:
+            nxt = self.upload_second(nxt_raw)  # overlaps cur's compute
+            yield self.process_second(pending=cur)
+            cur = nxt
+        yield self.process_second(pending=cur)
 
     # -- SIC (host; see dllpll.Receiver._mai_free) -----------------------
     def _mai_free(self, phys: str, smp: np.ndarray, snapshot) -> np.ndarray:
@@ -747,7 +893,9 @@ class BankedReceiver:
         return out
 
     # -- acquisition ------------------------------------------------------
-    def _acquire_batch(self, bufs: np.ndarray, cold: list[int]) -> set[int]:
+    def _acquire_batch(
+        self, pending: PendingSecond, cold: list[int]
+    ) -> set[int]:
         b = self.bank
         bin_hz = self.fs / b.nobs
         # shared integer-bin hypothesis grid: union of cold ranges at the
@@ -802,12 +950,13 @@ class BankedReceiver:
         self._acq_attempt += 1
         start = start_code * b.nobs
         df, pt_idx, snr, pk = banked_acquire_step(
-            jnp.asarray(bufs),
+            pending.dev,
             jnp.asarray(b.fcode_ri[cold]),
             jnp.asarray(self._buf_idx[cold]),
             jnp.asarray(shifts),
             jnp.asarray(hyp_ok),
             jnp.asarray(np.int32(start)),
+            pending.scale,
             nobs=b.nobs,
             nsec=nsec,
             fs=self.fs,
@@ -839,9 +988,8 @@ class BankedReceiver:
         return acquired
 
     # -- tracking ---------------------------------------------------------
-    def _track_all(self, bufs, warm, reports) -> None:
+    def _track_all(self, pending: PendingSecond, warm, reports) -> None:
         b = self.bank
-        C = b.n_channels
         pt = np.array([s.pt for s in self.states], dtype=np.int32)
         fc = np.array([s.fc for s in self.states], dtype=np.float64)
         last_phi = np.array(
@@ -858,8 +1006,11 @@ class BankedReceiver:
                 "psbb": jnp.asarray(b.psbb),
                 "buf_idx": jnp.asarray(self._buf_idx),
             }
+        scale = (
+            pending.scale if pending.scale is not None else jnp.float32(1.0)
+        )
         args = (
-            jnp.asarray(bufs),
+            pending.dev,
             self._dev_const["wav_ext"],
             self._dev_const["psbb"],
             self._dev_const["buf_idx"],
@@ -870,20 +1021,14 @@ class BankedReceiver:
             jnp.asarray(last_phi),
         )
         if self._step is not None:
-            outs = self._step(*args)
+            outs = self._step(*args, scale)
         else:
-            outs = banked_track_step(*args, **step_kw)
+            outs = banked_track_step(*args, pending.scale, **step_kw)
         # ONE fetch for the whole bank's second (packed rows)
         c0p, c1p, c0g, c1g, chi2, cnt, pk_mean, last_phi_new, locked = (
             unpack_track_outputs(np.asarray(outs))
         )
-        # noise floor per buffer row (rxcomplex px)
-        nsec = int(self.fs)
-        # rx.cpp keeps px as the plain mean square of the raw (real)
-        # samples — no sqrt(2) compensation — so real mode matches it
-        # (f32: bufs may ship as f16, whose squares overflow at |x|>255)
-        bf = bufs[:, :nsec].astype(np.float32)
-        px_rows = np.mean(bf[:, :, 0] ** 2 + bf[:, :, 1] ** 2, axis=1)
+        px_rows = pending.px_rows
 
         for i in warm:
             st, cfg = self.states[i], self.channels[i].cfg

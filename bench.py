@@ -437,9 +437,25 @@ def bench_kernel(cfg) -> float:
     return msps
 
 
-def bench_tracking(cfg) -> float:
+def bench_tracking(cfg) -> dict:
     """120-channel production-geometry DLL/PLL bank: wall time per tracked
-    second (banked_track_step, one program for the whole bank)."""
+    second (banked_track_step, one program for the whole bank).
+
+    Methodology (VERDICT r04 items 1+4):
+    - transfer = nibble-packed int4 (``models/tracker.pack_int4_ri``, the
+      real-time tracking format: ~10.4 MB per dual-channel second, half
+      of int8 — <0.2 dB SNR cost at the tracking operating point, truth
+      asserted in tests/tests_tpu),
+    - the loop DOUBLE-BUFFERS: second r+1's ``device_put`` is issued
+      before second r's result fetch, so per-second wall approaches
+      max(transfer, compute) instead of their sum — matching the
+      ``BankedReceiver.run_stream`` production path,
+    - repeats until the three fastest seconds agree within 20% (the
+      ``measure_host_ingest`` convergence discipline), reporting
+      {median, min, max, reps, converged}.
+    Fresh random nibbles every second: the relay content-dedupes
+    repeated h2d, which would hide the transfer cost entirely."""
+    import jax as _jax
     import jax.numpy as jnp
 
     from amaranth_twstft_tpu.models.dllpll import (
@@ -470,21 +486,12 @@ def bench_tracking(cfg) -> float:
 
     rng = np.random.default_rng(1)
     S = int(cfg.fs) + bank.nobs
-    # Fresh int8-quantized buffers per tracked second: each second of a
-    # real capture has unique content (the relay content-dedupes
-    # repeated h2d, which would hide the transfer cost); int8 + scale is
-    # the half-byte transfer mode (utils/io.read_sc16_epochs_q8,
-    # PARITY.md deviation 10).
-    reps = 3
-    raw_bufs = [
-        rng.normal(0, 300, (2, S, 2)).astype(np.float32)
-        for _ in range(reps + 1)
-    ]
-    scales = [float(np.abs(b).max()) / 127.0 for b in raw_bufs]
-    all_bufs = [
-        np.clip(np.round(b / sc), -127, 127).astype(np.int8)
-        for b, sc in zip(raw_bufs, scales)
-    ]
+
+    def fresh_packed() -> np.ndarray:
+        # uniform random bytes = uniform random int4 nibbles:
+        # content-unique and incompressible (dedup/compression-proof)
+        return rng.integers(-128, 128, (2, S), dtype=np.int8)
+
     pt = rng.integers(0, bank.nobs, C).astype(np.int32)
     fc = rng.uniform(-4000, 4000, C)
     theta, t1, t2 = phase_tables(bank, pt, fc)
@@ -501,15 +508,13 @@ def bench_tracking(cfg) -> float:
         jnp.asarray(theta), jnp.asarray(t1), jnp.asarray(t2)
     )
     dev_phi = jnp.asarray(np.zeros(C, np.float32))
-    import jax as _jax
-
     _jax.block_until_ready(
         (dev_wav, dev_psbb, dev_theta, dev_t1, dev_t2)
     )
 
-    def second(buf, sc):
+    def second(dev_buf, sc):
         return banked_track_step(
-            jnp.asarray(buf), dev_wav,
+            dev_buf, dev_wav,
             dev_psbb, dev_phys, dev_pt,
             dev_theta, dev_t1, dev_t2,
             dev_phi, jnp.float32(sc),
@@ -518,22 +523,51 @@ def bench_tracking(cfg) -> float:
         )
 
     t0 = time.time()
-    outs = second(all_bufs[-1], scales[-1])
+    outs = second(_jax.device_put(fresh_packed()), 80.0)
     _ = np.asarray(outs)  # ONE packed (C, 9) fetch per second
     log(f"tracking compile+first second: {time.time()-t0:.1f} s")
-    times = []
-    for r in range(reps):
-        t0 = time.time()
-        outs = second(all_bufs[r], scales[r])
-        _ = np.asarray(outs)
-        times.append(time.time() - t0)
+
+    max_reps, budget_s = 10, 120.0
+    times: list[float] = []
+    converged = False
+    nxt = _jax.device_put(fresh_packed())
+    t_loop0 = time.time()
+    last = t_loop0
+    for r in range(max_reps):
+        cur = nxt
+        out = second(cur, 80.0 + r)  # dispatch (async)
+        if r + 1 < max_reps:
+            # next second's upload rides the link WHILE this second
+            # computes — device_put returns before the bytes land
+            nxt = _jax.device_put(fresh_packed())
+        _ = np.asarray(out)  # blocks until this second is done
+        now = time.time()
+        times.append(now - last)
+        last = now
+        if len(times) >= 5:
+            top3 = sorted(times)[:3]
+            if (top3[2] - top3[0]) / top3[1] < 0.20:
+                converged = True
+                break
+        if now - t_loop0 > budget_s:
+            break
     per_second = float(np.median(times))
-    log(f"tracking: {C} channels x 1 s in {per_second:.3f} s median of "
-        f"{[round(t, 2) for t in times]} ({C/per_second:.0f} "
-        f"channel-seconds/s)")
+    stats = {
+        "median_s": round(per_second, 3),
+        "min_s": round(min(times), 3),
+        "max_s": round(max(times), 3),
+        "reps": len(times),
+        "converged": converged,
+        "all_s": [round(t, 3) for t in times],
+    }
+    log(f"tracking: {C} channels x 1 s, int4 double-buffered: "
+        f"median {per_second:.3f} s/s of {stats['all_s']} "
+        f"(converged={converged}; {C/per_second:.0f} channel-seconds/s)")
     return {"ch_seconds_per_s": C / per_second,
             "bank_build_s": bank_build_s,
-            "track_runs_s": [round(t, 3) for t in times]}
+            "track_transfer": "int4 double-buffered",
+            "track_bytes_per_second": 2 * S,
+            "track_stats": stats}
 
 
 def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
@@ -891,6 +925,11 @@ def main() -> None:
                 track.get("ch_seconds_per_s", 0.0), 1
             )
             RESULTS["bank_build_s"] = round(track.get("bank_build_s", 0.0), 2)
+            RESULTS["track_transfer"] = track.get("track_transfer", "")
+            RESULTS["track_bytes_per_second"] = track.get(
+                "track_bytes_per_second", 0
+            )
+            RESULTS["track_stats"] = track.get("track_stats", {})
         except Exception as e:  # noqa: BLE001 — report partial results
             log(f"tracking bench failed: {e!r}")
     if os.environ.get("TWSTFT_BENCH_TWOWAY", "1") != "0":

@@ -305,3 +305,67 @@ def test_multibank_heterogeneous_geometry(small_cfg, two_prn_stream):
         assert abs(rm.fc_hz - rh.fc_hz) < 1e-3
         assert abs(rm.gd_ns - rh.gd_ns) < 1.0
     assert any("acquisition" in ln for ln in multi_rx.log)
+
+
+def test_int4_pack_device_roundtrip():
+    """Nibble-packed int4 transfer decodes on device to exactly the
+    host-quantized values (sign extension of both nibbles included)."""
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.models.tracker import _bufs_to_f32, pack_int4_ri
+
+    rng = np.random.default_rng(3)
+    bufs = rng.normal(0, 300, (2, 64, 2)).astype(np.float32)
+    bufs[0, 0] = (1000.0, -1000.0)  # force the extremes
+    packed, scale = pack_int4_ri(bufs)
+    assert packed.shape == (2, 64) and packed.dtype == np.int8
+    dec = np.asarray(_bufs_to_f32(jnp.asarray(packed), jnp.float32(scale)))
+    q = np.clip(np.round(bufs / scale), -8, 7) * scale
+    np.testing.assert_allclose(dec, q, atol=1e-4)
+    # every reconstructed value is on the 16-level int4 grid
+    lv = np.unique(np.round(dec / scale))
+    assert lv.min() >= -8 and lv.max() <= 7
+
+
+@pytest.mark.parametrize("transfer", ["int8", "int4"])
+def test_quantized_transfer_tracks_truth(small_cfg, two_prn_stream, transfer):
+    """The tracking bank locks and recovers the injected delay/Doppler
+    through the quantized transfer formats (int8 = the ranging parity
+    mode; int4 = the nibble-packed real-time tracking mode)."""
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    chans = [small_chan(9), small_chan(27)]
+    rx = BankedReceiver(chans, fs=small_cfg.fs, transfer=transfer)
+    reports = _run(rx, two_prn_stream, fs, L)
+    fs_ns = 1e9 / small_cfg.fs
+    for c, (dly, dop) in enumerate(((137.0, 120.0), (555.0, -210.0))):
+        rep = reports[3][c]
+        assert rep is not None and rep.locked, (transfer, c, rep)
+        assert abs(rep.fc_hz - dop) < 1.0, (transfer, c, rep.fc_hz)
+        exp_ns = (dly % L) * fs_ns
+        err = (rep.gd_ns - exp_ns) % (L * fs_ns)
+        err = min(err, L * fs_ns - err)
+        assert err < 0.25 * fs_ns, (transfer, c, rep.gd_ns, exp_ns)
+
+
+def test_run_stream_matches_sequential(small_cfg, two_prn_stream):
+    """The double-buffered run_stream driver produces the same per-second
+    reports as the sequential process_second loop (upload overlap must
+    not change any numbers)."""
+    fs, L = int(small_cfg.fs), small_cfg.samples_per_code
+    chans = [small_chan(9), small_chan(27)]
+    seq = _run(BankedReceiver(chans, fs=small_cfg.fs), two_prn_stream, fs, L)
+
+    rx = BankedReceiver(chans, fs=small_cfg.fs)
+    seconds = (
+        {"A": two_prn_stream[s * fs : (s + 1) * fs + 2 * L]}
+        for s in range(4)
+    )
+    streamed = list(rx.run_stream(seconds))
+    assert len(streamed) == len(seq)
+    for rs, rq in zip(streamed, seq):
+        for a, b in zip(rs, rq):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert a.locked == b.locked and a.cnt == b.cnt
+                assert abs(a.fc_hz - b.fc_hz) < 1e-9
+                assert abs(a.gd_ns - b.gd_ns) < 1e-9
