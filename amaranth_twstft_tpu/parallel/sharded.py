@@ -99,8 +99,16 @@ def make_sharded_caf_step(
     caf_chunk: int = 4,
     fast: bool = False,
     mxu_fft: bool = False,
+    real_io: bool = False,
 ):
     """Build the jitted sharded step.
+
+    ``real_io=True`` moves the program boundary to real dtypes: the step
+    then takes ``blocks_ri`` (n_time, len, 2) float32 and ``fcode_ri``
+    (L, 2) float32 and returns ``xval`` as (..., 2) re/im — required on
+    relay-attached accelerators where complex arrays cannot cross the
+    host<->device boundary (see ``ops/boundary.py``), and what the
+    device-side pipeline uses.
 
     Returns ``step(blocks, offsets, fcode, code_interp, shifts)`` where
 
@@ -189,7 +197,19 @@ def make_sharded_caf_step(
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(step)
+    if not real_io:
+        return jax.jit(step)
+
+    @jax.jit
+    def step_ri(blocks_ri, offsets, fcode_ri, code_interp, shifts):
+        blocks = jax.lax.complex(blocks_ri[..., 0], blocks_ri[..., 1])
+        fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
+        delay, f, p, snr, xval = step(
+            blocks, offsets, fcode, code_interp, shifts
+        )
+        return delay, f, p, snr, jnp.stack([xval.real, xval.imag], -1)
+
+    return step_ri
 
 
 def make_sharded_lagbank_step(mesh: Mesh, axis: str | None = None):

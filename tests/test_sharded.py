@@ -394,3 +394,45 @@ def test_sharded_pipeline_sc16_ingest(small_cfg, tmp_path):
     assert abs(float(np.median(
         (np.asarray(o16["ch1"]["indice"]) + o16["ch1"]["correction"]) / 3.0
     )) - 431.4) < 0.1
+
+
+def test_real_io_boundary_matches_complex(setup):
+    """`real_io=True` (the relay-safe f32 (..., 2) program boundary used
+    on-device) produces the same results as the complex-boundary step."""
+    cfg, stream, fcode, code3, shifts = setup
+    L = cfg.samples_per_code
+    halo = L // 2
+    nt, nc, epb = 4, 2, 4
+    mesh = make_mesh(nt, nc)
+    blocks = _blocks(stream, nt, epb, L, halo).astype(np.complex64)
+    offsets = jnp.zeros(nt, jnp.int32)
+
+    step_c = make_sharded_caf_step(mesh, cfg.fs, L, epb, halo, caf_chunk=3)
+    args = shard_blocks(mesh, jnp.asarray(blocks), offsets, fcode, code3,
+                        shifts)
+    delay_c, df_c, pk_c, snr_c, xval_c = step_c(*args)
+
+    step_r = make_sharded_caf_step(mesh, cfg.fs, L, epb, halo, caf_chunk=3,
+                                   real_io=True)
+    blocks_ri = np.stack([blocks.real, blocks.imag], axis=-1)
+    fc = np.asarray(fcode)
+    fcode_ri = np.stack([fc.real, fc.imag], axis=-1).astype(np.float32)
+    sh = np.asarray(shifts)
+    pad = (-sh.shape[0]) % nc  # duplicate-last padding, as shard_blocks
+    sh = np.concatenate([sh, np.repeat(sh[-1:], pad)])
+    delay_r, df_r, pk_r, snr_r, xval_ri = step_r(
+        jnp.asarray(blocks_ri), offsets, jnp.asarray(fcode_ri), code3,
+        jnp.asarray(sh),
+    )
+    # the complex-path fixture carries f64 replica spectra; real_io packs
+    # f32 — identical algorithm, so agreement to f32 rounding only
+    np.testing.assert_allclose(np.asarray(delay_c), np.asarray(delay_r),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(df_c), np.asarray(df_r))
+    np.testing.assert_allclose(np.asarray(snr_c), np.asarray(snr_r),
+                               rtol=1e-4)
+    xv = np.asarray(xval_ri)
+    xc = np.asarray(xval_c)
+    atol = 1e-4 * float(np.abs(xc).max())  # f32 accumulation noise floor
+    np.testing.assert_allclose(xc.real, xv[..., 0], rtol=1e-4, atol=atol)
+    np.testing.assert_allclose(xc.imag, xv[..., 1], rtol=1e-4, atol=atol)
