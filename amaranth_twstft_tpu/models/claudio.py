@@ -81,6 +81,91 @@ class _Acc:
     moved: list = field(default_factory=list)  # 1-based epoch indices
 
 
+def _quantize_q8(a16: np.ndarray) -> tuple[np.ndarray, float]:
+    """Chunked int16 -> int8 quantization (``q = round(x/scale)``,
+    ``scale = max|x|/127``).  Chunked: whole-buffer float temporaries
+    run ~5x slower on a small host (measured, round 3)."""
+    CH = 1 << 21
+    flat = a16.reshape(-1)
+    m = 0
+    for i in range(0, flat.size, CH):
+        c = flat[i : i + CH]
+        m = max(m, int(c.max(initial=0)), -int(c.min(initial=0)))
+    scale = m / 127.0 if m else 1.0
+    out = np.empty(flat.size, np.int8)
+    inv = np.float32(1.0 / scale)
+    for i in range(0, flat.size, CH):
+        q = np.round(flat[i : i + CH] * inv)
+        np.clip(q, -127, 127, out=q)
+        out[i : i + CH] = q.astype(np.int8)
+    return out.reshape(a16.shape), scale
+
+
+#: (code_path, L, block, nint, fs) -> (block_prog, slip_prog); the
+#: compiled programs survive across process_file calls so a multi-file
+#: session pays the jit/compile-cache load once, not per file.
+_RESIDENT_CACHE: dict = {}
+
+
+def _make_resident_progs(step_packed, L: int, block: int, fs: float):
+    """Jitted programs over a device-RESIDENT int8 sample buffer.
+
+    The f32-pair transfer shipped every block TWICE (df refresh +
+    window batch) at 8 B/sample, re-shipped on every slip pass, and
+    fetched the nine result fields separately (each d2h round trip
+    costs ~25-80 ms of fixed relay latency — measured 63 fetches /
+    21.7 s of wait per 10-s file).  Here:
+
+    - the (block + carry) buffer ships ONCE per block as int8
+      (1 B/component — 8x fewer bytes, the same quantized-transfer
+      budget as the pipeline's ``parity_ns`` int8 mode),
+    - ``block_prog`` runs the df refresh AND the window batch in ONE
+      program, returning (df, packed (B, 14) rows) — two small fetches
+      per block total,
+    - slip re-correlations (``slip_prog``) reuse the resident buffer,
+      shipping only a fresh offsets vector.
+
+    The df refresh slices the RAW block (fixed-length slice -> one
+    compiled program; ``claudio_...separate.m:168-169``); the squaring
+    argmax is scale-invariant, so quantized units are as good as volts.
+    """
+
+    def _wins(dcat_q8, offsets, scale):
+        x = dcat_q8.astype(jnp.float32) * scale
+        return jax.vmap(
+            lambda o: jax.lax.dynamic_slice(x, (o, jnp.int32(0)), (L, 2))
+        )(offsets.astype(jnp.int32))
+
+    @jax.jit
+    def block_prog(dcat_q8, blk_start, kbon, offsets, scale):
+        blk = jax.lax.dynamic_slice(
+            dcat_q8, (blk_start.astype(jnp.int32), jnp.int32(0)), (block, 2)
+        )
+        d = jax.lax.complex(
+            blk[..., 0].astype(jnp.float32), blk[..., 1].astype(jnp.float32)
+        )
+        df, _ = refresh_df(d, fs, kbon.astype(jnp.int32))
+        packed = step_packed(
+            _wins(dcat_q8, offsets, scale), df_fixed=df.astype(jnp.float32)
+        )
+        return df, packed
+
+    @jax.jit
+    def slip_prog(dcat_q8, offsets, scale, df):
+        return step_packed(_wins(dcat_q8, offsets, scale), df_fixed=df)
+
+    return block_prog, slip_prog
+
+
+def _decode_packed(packed_np: np.ndarray, n: int):
+    """Packed (pad_to, 14) rows -> numpy-backed EpochResult[:n] — no
+    further device traffic."""
+    from amaranth_twstft_tpu.ops import boundary
+
+    full = boundary.to_epoch_result(boundary.unpack_outputs(packed_np))
+    return jax.tree_util.tree_map(lambda a: a[:n], full)
+
+
 def _correlate_windows(d_block, offsets, rep, proc, df, fs, dtype,
                        step=None, pad_to=0):
     """Correlate windows of ``d_block`` starting at ``offsets`` (host).
@@ -128,8 +213,16 @@ def process_file(
     dtype=jnp.complex128,
     max_slip_passes: int = 4,
     verbose: bool = False,
+    transfer: str = "auto",
 ) -> dict | None:
     """Run the claudio chain over one single-channel capture file.
+
+    ``transfer`` picks the accelerator sample-transfer path: ``"int8"``
+    (and ``"auto"``, the default, on accelerators) keeps each 2-s block
+    device-RESIDENT as quantized int8 — one upload per block, df refresh
+    + all window (re-)correlations slice it on device
+    (:func:`_make_resident_progs`); ``"f32"`` forces the original
+    float-pair per-call shipping.  CPU execution ignores it.
 
     Returns the result dict (or None if the output already exists — the
     reference's idempotent resume, ``claudio_...separate.m:119``).
@@ -159,12 +252,32 @@ def process_file(
     accel = boundary.on_accelerator()
     step = None
     pad_to = 0
+    resident = accel and transfer in ("auto", "int8")
     if accel:
         step = boundary.make_ranging_step(
             np.asarray(rep.fcode), np.asarray(rep.code_interp),
             np.ones(L, bool), fs, nint=proc.nint, conjugate_data=True,
         )
         pad_to = block // L + 2  # max windows in a carry-extended block
+    if resident:
+        from amaranth_twstft_tpu import native as _native
+
+        # device-resident buffer: block + worst-case dold carry (+slip
+        # margin); windows are sliced on device, so pad_to covers the
+        # largest possible window count of a carry-extended buffer
+        capacity = block + 4 * L
+        pad_to = capacity // L
+        rk = (os.path.abspath(code_path), L, block, proc.nint, float(fs))
+        if rk not in _RESIDENT_CACHE:
+            step_packed = boundary.make_ranging_step(
+                np.asarray(rep.fcode), np.asarray(rep.code_interp),
+                np.ones(L, bool), fs, nint=proc.nint, conjugate_data=True,
+                packed=True,
+            )
+            _RESIDENT_CACHE[rk] = _make_resident_progs(
+                step_packed, L, block, fs
+            )
+        block_prog, slip_prog = _RESIDENT_CACHE[rk]
 
     acc = _Acc()
     n_total = io.n_samples_sc16(capture_path, channels=1)
@@ -175,6 +288,36 @@ def process_file(
     start = int(proc.skip_seconds * fs)
     pos = start
     while pos + block <= n_total:
+        if resident:
+            # int8 hunt: both detection statistics are ratios, so the
+            # quantized block needs no scale (doppler ri-wrapper notes)
+            blk16, nf = _native.read_raw16(capture_path, pos, block,
+                                           channels=1)
+            if nf < block:
+                break
+            n = 1
+            q8, _sc = _quantize_q8(blk16)
+            dc = blk16[:L].astype(np.float32)
+            dc -= dc.mean(axis=0, keepdims=True)
+            from amaranth_twstft_tpu.ops.doppler import (
+                search_df_candidates_ri,
+            )
+
+            kb, _ = search_df_candidates_ri(
+                jnp.asarray(q8),
+                jnp.asarray(dc),
+                jnp.asarray(
+                    boundary.pack_complex(np.asarray(rep.fcode))
+                ),
+                fs,
+                jnp.asarray(mask),
+                threshold=proc.df_threshold,
+            )
+            kbon = int(kb)
+            if kbon >= 0:
+                break
+            pos += block
+            continue
         d, n = io.read_sc16_epochs(capture_path, pos, 1, block, channels=1,
                                   dtype=np_dtype)
         if n == 0:
@@ -216,42 +359,98 @@ def process_file(
     # ---- main loop from the file start (the reference rewinds) --------
     pos = 0
     dold = np.zeros(0, dtype=np_dtype)
+    dold16 = np.zeros((0, 2), dtype=np.int16)
+    dev = scale = None
     p = 1  # 1-based epoch counter like the reference printouts
     while True:
-        d, n = io.read_sc16_epochs(capture_path, pos, 1, block, channels=1,
-                                  dtype=np_dtype)
-        if n == 0:
-            break
-        pos += block
-        dcat = np.concatenate([dold, d[0, 0]])
-        # df refresh within +/-3 bins of the locked line (:168-169).  The
-        # reference refreshes on the carry-extended block; we refresh on
-        # the fixed-length raw block so every refresh compiles to the one
-        # cached program (variable-length FFTs would recompile per block).
-        if accel:
-            from amaranth_twstft_tpu.ops.doppler import refresh_df_ri
-
-            df_val = float(
-                refresh_df_ri(
-                    jnp.asarray(boundary.pack_complex(d[0, 0])), fs, kbon
-                )[0]
-            )
+        if resident:
+            blk16, nf = _native.read_raw16(capture_path, pos, block,
+                                           channels=1)
+            if nf < block:
+                break  # the reference drops the final partial block
+            n = 1
+            pos += block
+            dcat16 = np.concatenate([dold16, blk16])
+            if len(dcat16) > capacity:  # pathological slip pile-up
+                acc.moved.append(-p)  # negative marker: carry trimmed
+                dcat16 = dcat16[len(dcat16) - capacity :]
+            dcat_len = len(dcat16)
+            q8, scale = _quantize_q8(dcat16)
+            buf = np.zeros((capacity, 2), np.int8)
+            buf[:dcat_len] = q8
+            dev = jax.device_put(buf)  # ONE upload per block
+            df_val = None  # set by block_prog (fused with the windows)
         else:
-            df_val = float(refresh_df(jnp.asarray(d[0, 0]), fs, kbon)[0])
+            d, n = io.read_sc16_epochs(capture_path, pos, 1, block,
+                                      channels=1, dtype=np_dtype)
+            if n == 0:
+                break
+            pos += block
+            dcat = np.concatenate([dold, d[0, 0]])
+            dcat_len = len(dcat)
+            # df refresh within +/-3 bins of the locked line (:168-169).
+            # The reference refreshes on the carry-extended block; we
+            # refresh on the fixed-length raw block so every refresh
+            # compiles to the one cached program (variable-length FFTs
+            # would recompile per block).
+            if accel:
+                from amaranth_twstft_tpu.ops.doppler import refresh_df_ri
+
+                df_val = float(
+                    refresh_df_ri(
+                        jnp.asarray(boundary.pack_complex(d[0, 0])), fs,
+                        kbon
+                    )[0]
+                )
+            else:
+                df_val = float(refresh_df(jnp.asarray(d[0, 0]), fs, kbon)[0])
 
         # ---- batched window extraction + masked slip recompute --------
-        offsets = list(range(0, len(dcat) - L + 1, L))
+        offsets = list(range(0, dcat_len - L + 1, L))
         if not offsets:
-            dold = dcat
+            if resident:
+                dold16 = dcat16
+            else:
+                dold = dcat
             continue
         n_win = len(offsets)
         offsets = np.asarray(offsets, dtype=np.int64)
-        res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype,
-                                 step=step, pad_to=pad_to)
+
+        def corr(offs):
+            # slip re-correlation: the buffer is already resident — only
+            # the fresh offsets vector ships
+            if resident:
+                o = np.zeros(pad_to, np.int32)
+                o[: len(offs)] = offs
+                pk = np.asarray(slip_prog(
+                    dev, jnp.asarray(o), jnp.float32(scale),
+                    jnp.float32(df_val),
+                ))
+                return _decode_packed(pk, len(offs))
+            return _correlate_windows(dcat, offs, rep, proc, df_val, fs,
+                                      dtype, step=step, pad_to=pad_to)
+
+        if resident:
+            # df refresh + window batch in ONE program, ONE result fetch
+            offs0 = np.zeros(pad_to, np.int32)
+            offs0[:n_win] = offsets
+            df_dev, packed_dev = block_prog(
+                dev, jnp.int32(dcat_len - block), jnp.int32(kbon),
+                jnp.asarray(offs0), jnp.float32(scale),
+            )
+            packed = np.asarray(packed_dev)
+            df_val = float(np.asarray(df_dev))
+            res = _decode_packed(packed, n_win)
+        else:
+            res = corr(offsets)
         for _pass in range(max_slip_passes):
             ind3 = np.asarray(res.indice, dtype=np.float64)
             indice_ni = ind3 / proc.interp_factor  # non-interp grid (0-based)
-            snr_db = np.asarray(res.snr_db)
+            # host-side dB (the EpochResult property would round-trip
+            # numpy-backed fields through the device)
+            snr_db = 10.0 * np.log10(np.maximum(
+                np.asarray(res.snr_r) + np.asarray(res.snr_i), 1e-30
+            ))
             # slip: peak away from either window edge with usable SNR
             # (:175-186; indices there are 1-based -> >43 & <len/2 etc.)
             slipped = (snr_db > proc.snr_gate_db) & (
@@ -268,14 +467,15 @@ def process_file(
             if offsets[first] < 0:
                 offsets[first:] += L
             # drop windows that no longer fit
-            keep = offsets + L <= len(dcat)
+            keep = offsets + L <= dcat_len
             offsets = offsets[keep]
             n_win = len(offsets)
             if n_win == 0:
                 break
             acc.moved.append(p + first)
-            res = _correlate_windows(dcat, offsets, rep, proc, df_val, fs, dtype,
-                                 step=step, pad_to=pad_to)
+            # resident mode: the buffer is already on device — the
+            # re-correlation ships only the new offsets vector
+            res = corr(offsets)
 
         if n_win:
             ind3 = np.asarray(res.indice, dtype=np.float64)
@@ -287,16 +487,22 @@ def process_file(
             acc.puissance.extend(np.asarray(res.puissance).tolist())
             acc.df_per_code.extend([df_val] * n_win)
             if verbose:
+                vdb = 10.0 * np.log10(np.maximum(
+                    np.asarray(res.snr_r) + np.asarray(res.snr_i), 1e-30
+                ))
                 for i in range(n_win):
                     print(
                         f"{p+i}\t{(ind3[i]+np.asarray(res.correction)[i])/fs/proc.interp_factor:.12f}"
-                        f"\t{df_val:.3f}\t{float(np.asarray(res.snr_db)[i]):.1f}"
+                        f"\t{df_val:.3f}\t{float(vdb[i]):.1f}"
                     )
             p += n_win
             tail = offsets[-1] + L
         else:
             tail = 0
-        dold = dcat[tail:]
+        if resident:
+            dold16 = dcat16[tail:]
+        else:
+            dold = dcat[tail:]
         if n < 1:
             # NOTE: like the reference, the final PARTIAL block (and its
             # dold carry) is dropped — its fread loop exits on any short

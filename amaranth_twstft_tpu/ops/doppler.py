@@ -105,6 +105,26 @@ def _squaring_spectrum_unshifted(d: jax.Array, mxu_fft: bool = False):
     return jnp.abs(sq)
 
 
+def _auto_mxu_fft(n: int) -> bool:
+    """Route big FFTs to the staged matmul transform on accelerators.
+
+    XLA's TPU FFT at large mixed-radix N materializes DFT-matrix blocks
+    (observed: a f32[78125, 78125] = 24 GB allocation at N=1e7, the
+    claudio 2-s block length) — the compile itself OOMs.  The factored
+    transform runs the same length in bounded memory."""
+    import jax as _j
+
+    if _j.devices()[0].platform == "cpu":
+        return False
+    try:
+        from amaranth_twstft_tpu.ops.mxufft import good_factors
+
+        good_factors(n)
+        return True
+    except ValueError:
+        return False
+
+
 def _masked_argmax_shifted(sp_unshifted: jax.Array, mask_shifted) -> jax.Array:
     """argmax over the fftshift-ed spectrum, without shifting the data:
     roll the (tiny) mask the other way, then remap the winning index to
@@ -176,7 +196,10 @@ def per_file_df(
     return jnp.asarray(freq, d2.dtype)[idx] / 2.0 + foffset_hz
 
 
-@partial(jax.jit, static_argnames=("max_candidates", "notch_halfwidth"))
+@partial(
+    jax.jit,
+    static_argnames=("max_candidates", "notch_halfwidth", "mxu_fft"),
+)
 def _search_df_jit(
     d: jax.Array,
     dcode: jax.Array,
@@ -188,8 +211,9 @@ def _search_df_jit(
     snr_threshold: float,
     max_candidates: int = 32,
     notch_halfwidth: int = 5,
+    mxu_fft: bool = False,
 ):
-    d2 = squaring_spectrum(d)
+    d2 = squaring_spectrum(d, mxu_fft=mxu_fft)
     masked = jnp.where(mask, d2, 0.0)
     med = jnp.nanmedian(jnp.where(mask, d2, jnp.nan))
     above = masked > med * threshold
@@ -241,6 +265,7 @@ def search_df_candidates(
         threshold,
         snr_threshold,
         max_candidates=max_candidates,
+        mxu_fft=_auto_mxu_fft(n),
     )
     return int(best), int(n_above)
 
@@ -249,7 +274,7 @@ def refresh_df(d: jax.Array, fs: float, kbon: int, halfwidth: int = 3):
     """Per-block df refresh: argmax of the squaring spectrum within
     ``kbon +/- halfwidth`` (``claudio_...separate.m:168-169``)."""
     n = d.shape[-1]
-    d2 = squaring_spectrum(d)
+    d2 = squaring_spectrum(d, mxu_fft=_auto_mxu_fft(n))
     # dynamic_slice clamps an out-of-range start silently; mirror the
     # clamp when rebuilding the absolute index or a kbon within
     # halfwidth of either spectrum edge reports a bin offset by the
@@ -346,7 +371,12 @@ def per_file_df_ri(
 
 @partial(jax.jit, static_argnames=("fs", "halfwidth"))
 def refresh_df_ri(x_ri: jax.Array, fs: float, kbon, halfwidth: int = 3):
-    """Boundary-safe :func:`refresh_df` (float (..., 2) in, real out)."""
+    """Boundary-safe :func:`refresh_df` (float (..., 2) in, real out).
+
+    Accepts int8/f16 transfer formats scale-free: the squaring-spectrum
+    argmax this computes is scale-invariant."""
+    if x_ri.dtype in (jnp.float16, jnp.bfloat16, jnp.int8, jnp.int16):
+        x_ri = x_ri.astype(jnp.float32)
     d = jax.lax.complex(x_ri[..., 0], x_ri[..., 1])
     df, idx = refresh_df(d, fs, jnp.asarray(kbon, jnp.int32), halfwidth)
     return df, idx
@@ -367,7 +397,14 @@ def search_df_candidates_ri(
     max_candidates: int = 32,
     notch_halfwidth: int = 5,
 ):
-    """Boundary-safe :func:`search_df_candidates` (all-real I/O)."""
+    """Boundary-safe :func:`search_df_candidates` (all-real I/O).
+
+    ``d_ri`` may arrive int8/f16 (quantized transfer): the spectral-line
+    threshold (x median) and the trial-correlation SNR are ratios, so a
+    global scale factor — including one DIFFERENT from ``dcode_ri``'s —
+    cancels."""
+    if d_ri.dtype in (jnp.float16, jnp.bfloat16, jnp.int8, jnp.int16):
+        d_ri = d_ri.astype(jnp.float32)
     d = jax.lax.complex(d_ri[..., 0], d_ri[..., 1])
     dcode = jax.lax.complex(dcode_ri[..., 0], dcode_ri[..., 1])
     fcode = jax.lax.complex(fcode_ri[..., 0], fcode_ri[..., 1])
@@ -376,4 +413,5 @@ def search_df_candidates_ri(
     return _search_df_jit(
         d, dcode, fcode, mask, freq, fs, threshold, snr_threshold,
         max_candidates=max_candidates, notch_halfwidth=notch_halfwidth,
+        mxu_fft=_auto_mxu_fft(n),
     )
