@@ -233,6 +233,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="subscribe to a --serve producer and print its "
                    "rows (the zmq_rx.py consumer role); no processing "
                    "happens locally")
+    p.add_argument("--plot", action="store_true",
+                   help="--connect: render the live view (spectra + "
+                   "delay/SNR tracks, the zmq_rx.py Qt GUI role) with "
+                   "matplotlib instead of printing rows; headless hosts "
+                   "get a refreshing PNG snapshot (--plot-file)")
+    p.add_argument("--plot-file", default="monitor_live.png",
+                   help="--plot: snapshot path (default %(default)s)")
+    p.add_argument("--plot-interactive", action="store_true",
+                   help="--plot: open a live matplotlib window instead "
+                   "of writing snapshots (needs a display)")
     p.add_argument("--serve-min-clients", type=int, default=0,
                    metavar="N", help="--serve: wait for N subscribers "
                    "before processing starts (scripted/batch use where "
@@ -718,6 +728,30 @@ def _dispatch(args) -> int:
                 print(f"monitor --connect: expected HOST:PORT, got "
                       f"{args.connect!r}", flush=True)
                 return 2
+            if args.plot:
+                # live view (the zmq_rx.py Qt GUI role)
+                from amaranth_twstft_tpu.utils.plotview import LiveMonitorPlot
+
+                view = LiveMonitorPlot(
+                    interactive=args.plot_interactive,
+                    save_path=None if args.plot_interactive
+                    else args.plot_file,
+                )
+                try:
+                    out = view.run(connect_monitor(
+                        host or "127.0.0.1", int(port),
+                        timeout_s=args.timeout + 30.0,
+                    ))
+                except (ConnectionRefusedError, ConnectionResetError) as e:
+                    print(f"monitor --connect: {e} (is the producer "
+                          f"--serve-ing on {args.connect}?)", flush=True)
+                    return 1
+                except (TimeoutError, OSError) as e:
+                    print(f"monitor --connect: {e}", flush=True)
+                    return 1
+                if out:
+                    print(out, flush=True)
+                return 0
             print("# epoch ch delay_samp df_hz snr_db cn0_dbhz "
                   "| track: s phys PRN fc phi cnt gd dg sdgd Pk Pn",
                   flush=True)

@@ -108,7 +108,7 @@ _RESIDENT_CACHE: dict = {}
 
 
 def _make_resident_progs(step_packed, L: int, block: int, fs: float):
-    """Jitted programs over a device-RESIDENT int8 sample buffer.
+    """Jitted programs over a ROLLING device-resident sample buffer.
 
     The f32-pair transfer shipped every block TWICE (df refresh +
     window batch) at 8 B/sample, re-shipped on every slip pass, and
@@ -116,45 +116,67 @@ def _make_resident_progs(step_packed, L: int, block: int, fs: float):
     costs ~25-80 ms of fixed relay latency — measured 63 fetches /
     21.7 s of wait per 10-s file).  Here:
 
-    - the (block + carry) buffer ships ONCE per block as int8
-      (1 B/component — 8x fewer bytes, the same quantized-transfer
-      budget as the pipeline's ``parity_ns`` int8 mode),
-    - ``block_prog`` runs the df refresh AND the window batch in ONE
-      program, returning (df, packed (B, 14) rows) — two small fetches
-      per block total,
-    - slip re-correlations (``slip_prog``) reuse the resident buffer,
+    - only the RAW 2-s block ships, once, as int8 (1 B/component — 8x
+      fewer bytes, the same quantized-transfer budget as the pipeline's
+      ``parity_ns`` int8 mode).  Because the raw block does not depend
+      on the previous block's results, the NEXT block's read + quantize
+      + upload overlaps the current block's device work (the host
+      issues the async ``device_put`` between dispatch and fetch) —
+      without the overlap the per-block host work and fetches serialize
+      with the transfers and the chain runs at ~half the link rate
+      (measured, round 5),
+    - the ``dold`` carry never re-ships: ``block_prog`` assembles
+      carry + new block into a fresh f32 buffer ON DEVICE (the carry is
+      a slice of the previous assembled buffer, which stays resident),
+      runs the df refresh AND the window batch in the same program, and
+      returns (df, packed (B, 14) rows, new_buffer) — the buffer output
+      is never fetched,
+    - slip re-correlations (``slip_prog``) slice the assembled buffer,
       shipping only a fresh offsets vector.
 
-    The df refresh slices the RAW block (fixed-length slice -> one
+    The df refresh reads the RAW block slice (fixed-length -> one
     compiled program; ``claudio_...separate.m:168-169``); the squaring
     argmax is scale-invariant, so quantized units are as good as volts.
-    """
+    Buffer geometry: valid prefix = dold_len + block; the carry is a
+    fixed CARRY=4L-sample slice starting at ``tail`` (only its first
+    ``dold_len`` samples are ever addressed — offsets stop at
+    ``dold_len + block - L`` and the refresh starts at ``dold_len``);
+    CAP leaves slack so ``tail + CARRY`` can never clamp."""
+    CARRY = 4 * L
+    CAP = block + 2 * CARRY
 
-    def _wins(dcat_q8, offsets, scale):
-        x = dcat_q8.astype(jnp.float32) * scale
+    def _wins(x, offsets):
         return jax.vmap(
             lambda o: jax.lax.dynamic_slice(x, (o, jnp.int32(0)), (L, 2))
         )(offsets.astype(jnp.int32))
 
     @jax.jit
-    def block_prog(dcat_q8, blk_start, kbon, offsets, scale):
-        blk = jax.lax.dynamic_slice(
-            dcat_q8, (blk_start.astype(jnp.int32), jnp.int32(0)), (block, 2)
+    def block_prog(prev_f32, tail, dold_len, blk_q8, scale, kbon, offsets):
+        i32 = jnp.int32
+        carry = jax.lax.dynamic_slice(
+            prev_f32, (tail.astype(i32), i32(0)), (CARRY, 2)
         )
-        d = jax.lax.complex(
-            blk[..., 0].astype(jnp.float32), blk[..., 1].astype(jnp.float32)
+        x = jnp.zeros((CAP, 2), jnp.float32)
+        x = jax.lax.dynamic_update_slice(x, carry, (i32(0), i32(0)))
+        blk = blk_q8.astype(jnp.float32) * scale.astype(jnp.float32)
+        x = jax.lax.dynamic_update_slice(
+            x, blk, (dold_len.astype(i32), i32(0))
         )
-        df, _ = refresh_df(d, fs, kbon.astype(jnp.int32))
+        raw = jax.lax.dynamic_slice(
+            x, (dold_len.astype(i32), i32(0)), (block, 2)
+        )
+        d = jax.lax.complex(raw[..., 0], raw[..., 1])
+        df, _ = refresh_df(d, fs, kbon.astype(i32))
         packed = step_packed(
-            _wins(dcat_q8, offsets, scale), df_fixed=df.astype(jnp.float32)
+            _wins(x, offsets), df_fixed=df.astype(jnp.float32)
         )
-        return df, packed
+        return df, packed, x
 
     @jax.jit
-    def slip_prog(dcat_q8, offsets, scale, df):
-        return step_packed(_wins(dcat_q8, offsets, scale), df_fixed=df)
+    def slip_prog(x_f32, offsets, df):
+        return step_packed(_wins(x_f32, offsets), df_fixed=df)
 
-    return block_prog, slip_prog
+    return block_prog, slip_prog, CAP, CARRY
 
 
 def _decode_packed(packed_np: np.ndarray, n: int):
@@ -214,6 +236,7 @@ def process_file(
     max_slip_passes: int = 4,
     verbose: bool = False,
     transfer: str = "auto",
+    df_window_hz: tuple[float, float] | None = None,
 ) -> dict | None:
     """Run the claudio chain over one single-channel capture file.
 
@@ -244,7 +267,13 @@ def process_file(
     L = rep.samples_per_code
     fs = signal.fs
     block = int(fs * proc.block_seconds)  # complex samples per block
-    lo_hz, hi_hz = claudio_df_window(station, ranging)
+    # df hunt window: the production Hz constants by default
+    # (claudio_...separate.m:135-141); an explicit override supports
+    # non-production sample rates (scaled test geometries)
+    lo_hz, hi_hz = (
+        df_window_hz if df_window_hz is not None
+        else claudio_df_window(station, ranging)
+    )
     np_dtype = np.complex128 if dtype == jnp.complex128 else np.complex64
 
     from amaranth_twstft_tpu.ops import boundary
@@ -262,11 +291,6 @@ def process_file(
     if resident:
         from amaranth_twstft_tpu import native as _native
 
-        # device-resident buffer: block + worst-case dold carry (+slip
-        # margin); windows are sliced on device, so pad_to covers the
-        # largest possible window count of a carry-extended buffer
-        capacity = block + 4 * L
-        pad_to = capacity // L
         rk = (os.path.abspath(code_path), L, block, proc.nint, float(fs))
         if rk not in _RESIDENT_CACHE:
             step_packed = boundary.make_ranging_step(
@@ -277,7 +301,10 @@ def process_file(
             _RESIDENT_CACHE[rk] = _make_resident_progs(
                 step_packed, L, block, fs
             )
-        block_prog, slip_prog = _RESIDENT_CACHE[rk]
+        block_prog, slip_prog, cap_res, carry_res = _RESIDENT_CACHE[rk]
+        # windows are sliced on device; pad_to covers the largest
+        # window count of a carry-extended (dold + block) buffer
+        pad_to = (block + carry_res) // L
 
     acc = _Acc()
     n_total = io.n_samples_sc16(capture_path, channels=1)
@@ -359,27 +386,55 @@ def process_file(
     # ---- main loop from the file start (the reference rewinds) --------
     pos = 0
     dold = np.zeros(0, dtype=np_dtype)
-    dold16 = np.zeros((0, 2), dtype=np.int16)
-    dev = scale = None
     p = 1  # 1-based epoch counter like the reference printouts
+    if resident:
+        prev_f32 = None  # rolling assembled buffer, device-resident
+        tail16 = 0  # carry start within prev_f32
+        dold_len = 0
+        pending = None  # (dev_q8, scale): next raw block, upload issued
     while True:
         if resident:
+            if pending is None:
+                blk16, nf = _native.read_raw16(capture_path, pos, block,
+                                               channels=1)
+                if nf < block:
+                    break  # the reference drops the final partial block
+                q8, scale = _quantize_q8(blk16)
+                pending = (jax.device_put(q8), scale)
+                pos += block
+            dev_q8, scale = pending
+            pending = None
+            n = 1
+            if dold_len > carry_res:  # pathological slip pile-up
+                acc.moved.append(-p)  # negative marker: carry trimmed
+                tail16 += dold_len - carry_res
+                dold_len = carry_res
+            dcat_len = dold_len + block
+            offsets = np.arange(0, dcat_len - L + 1, L, dtype=np.int64)
+            n_win = len(offsets)
+            offs0 = np.zeros(pad_to, np.int32)
+            offs0[:n_win] = offsets
+            if prev_f32 is None:
+                prev_f32 = jnp.zeros((cap_res, 2), jnp.float32)
+            # carry assembly + df refresh + window batch in ONE program
+            df_dev, packed_dev, x_f32 = block_prog(
+                prev_f32, jnp.int32(tail16), jnp.int32(dold_len),
+                dev_q8, jnp.float32(scale), jnp.int32(kbon),
+                jnp.asarray(offs0),
+            )
+            # PREFETCH: the next raw block's read + quantize + upload
+            # rides the link while this block computes (device_put is
+            # async; the raw block depends on nothing downstream)
             blk16, nf = _native.read_raw16(capture_path, pos, block,
                                            channels=1)
-            if nf < block:
-                break  # the reference drops the final partial block
-            n = 1
-            pos += block
-            dcat16 = np.concatenate([dold16, blk16])
-            if len(dcat16) > capacity:  # pathological slip pile-up
-                acc.moved.append(-p)  # negative marker: carry trimmed
-                dcat16 = dcat16[len(dcat16) - capacity :]
-            dcat_len = len(dcat16)
-            q8, scale = _quantize_q8(dcat16)
-            buf = np.zeros((capacity, 2), np.int8)
-            buf[:dcat_len] = q8
-            dev = jax.device_put(buf)  # ONE upload per block
-            df_val = None  # set by block_prog (fused with the windows)
+            if nf == block:
+                q8, scale_n = _quantize_q8(blk16)
+                pending = (jax.device_put(q8), scale_n)
+                pos += block
+            packed = np.asarray(packed_dev)  # ONE result fetch per block
+            df_val = float(np.asarray(df_dev))
+            res = _decode_packed(packed, n_win)
+            prev_f32 = x_f32
         else:
             d, n = io.read_sc16_epochs(capture_path, pos, 1, block,
                                       channels=1, dtype=np_dtype)
@@ -405,17 +460,14 @@ def process_file(
             else:
                 df_val = float(refresh_df(jnp.asarray(d[0, 0]), fs, kbon)[0])
 
-        # ---- batched window extraction + masked slip recompute --------
-        offsets = list(range(0, dcat_len - L + 1, L))
-        if not offsets:
-            if resident:
-                dold16 = dcat16
-            else:
+            # ---- batched window extraction -----------------------------
+            offsets = np.arange(0, dcat_len - L + 1, L, dtype=np.int64)
+            if len(offsets) == 0:
                 dold = dcat
-            continue
-        n_win = len(offsets)
-        offsets = np.asarray(offsets, dtype=np.int64)
+                continue
+            n_win = len(offsets)
 
+        # ---- masked slip recompute ------------------------------------
         def corr(offs):
             # slip re-correlation: the buffer is already resident — only
             # the fresh offsets vector ships
@@ -423,26 +475,15 @@ def process_file(
                 o = np.zeros(pad_to, np.int32)
                 o[: len(offs)] = offs
                 pk = np.asarray(slip_prog(
-                    dev, jnp.asarray(o), jnp.float32(scale),
-                    jnp.float32(df_val),
+                    x_f32, jnp.asarray(o), jnp.float32(df_val),
                 ))
                 return _decode_packed(pk, len(offs))
             return _correlate_windows(dcat, offs, rep, proc, df_val, fs,
                                       dtype, step=step, pad_to=pad_to)
 
-        if resident:
-            # df refresh + window batch in ONE program, ONE result fetch
-            offs0 = np.zeros(pad_to, np.int32)
-            offs0[:n_win] = offsets
-            df_dev, packed_dev = block_prog(
-                dev, jnp.int32(dcat_len - block), jnp.int32(kbon),
-                jnp.asarray(offs0), jnp.float32(scale),
-            )
-            packed = np.asarray(packed_dev)
-            df_val = float(np.asarray(df_dev))
-            res = _decode_packed(packed, n_win)
-        else:
+        if not resident:
             res = corr(offsets)
+
         for _pass in range(max_slip_passes):
             ind3 = np.asarray(res.indice, dtype=np.float64)
             indice_ni = ind3 / proc.interp_factor  # non-interp grid (0-based)
@@ -500,7 +541,8 @@ def process_file(
         else:
             tail = 0
         if resident:
-            dold16 = dcat16[tail:]
+            tail16 = int(tail)  # carry start within x_f32 coordinates
+            dold_len = dcat_len - tail16
         else:
             dold = dcat[tail:]
         if n < 1:

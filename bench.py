@@ -114,6 +114,8 @@ def start_watchdog() -> None:
     (default 55 min) emit whatever has been collected and exit(0) —
     a hung relay must not turn the round's bench into silence."""
     deadline = float(os.environ.get("TWSTFT_BENCH_DEADLINE_S", "3300"))
+    RESULTS["_t0"] = time.time()
+    RESULTS["_deadline_s"] = deadline
 
     def fire():
         log(f"bench watchdog: {deadline:.0f}s deadline hit — emitting "
@@ -881,6 +883,263 @@ def bench_twoway_rehearsal(cfg, scratch: str, n_seconds: int = 24) -> dict:
     }
 
 
+def bench_session_soak(cfg, scratch: str, budget_s: float,
+                       target_seconds: int = 330,
+                       min_seconds: int = 60,
+                       noise_sigma: float = 300.0) -> dict | None:
+    """One full reference-shaped production session, on-device:
+
+    two stations x dual-channel captures -> 4 claudio archives
+    (OPlo / OPre / LTFBlo / LTFBre, the 4 ``.mat.gz`` per session of
+    ``acquisition/go_1s.m:73-182``) -> go1s session solve -> ``.1s``
+    products -> campaign series + figure (VERDICT r04 item 10; cadence
+    ``acquisition/crontab:1-3``).
+
+    The reference session is 5.5 min/site; the soak targets that and
+    scales down only when the measured link rate cannot ship it inside
+    ``budget_s`` (the tunnel is a harness artifact — a PCIe-attached
+    chip ships the full session in seconds).  ``session_seconds_per_site``
+    records what actually ran.  A known clock offset x is injected via
+    fractional code delays (op_re-op_lo = path + x, lt_re-lt_lo =
+    path - x => res = x) and checked in the products.
+    """
+    import gzip
+    import shutil
+
+    from amaranth_twstft_tpu.config import ProcessingConfig, StationConfig
+    from amaranth_twstft_tpu.models import claudio, go1s
+    from amaranth_twstft_tpu.models.campaign import (
+        campaign_series,
+        plot_campaign,
+        write_campaign_series,
+    )
+    from amaranth_twstft_tpu.models.twoway import GatingPolicy
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips, write_prn_file
+    from amaranth_twstft_tpu.ops.prn import chips_to_pm1, upsample_zoh
+
+    t_soak0 = time.time()
+    fs, L = int(cfg.fs), cfg.samples_per_code
+    cps = fs // L
+    fs_ns = 1e9 / cfg.fs
+    code_path = os.path.join(scratch, "bench_code.bin")
+    if not os.path.exists(code_path):
+        write_prn_file(code_path, cfg.bit_len, cfg.code_len, cfg.taps)
+    chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len)
+    code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip), np.float64)
+
+    # -- session length vs link budget: the claudio int8-resident path
+    # ships ~2 B/sample -> 4 channel-files x fs x 2 B per session-second
+    link_mbps = max(RESULTS.get("link_h2d_mbps", 10.0), 1.0)
+    ship_mb_per_s = 4 * fs * 2 / 1e6  # ~40 MB per session-second
+    n_target = target_seconds  # 330 = the reference's 5.5-min session
+    # per-session-second wall: the int8 ship over the link, overlapped
+    # with the ~80 MB/s-of-session disk synthesis (measured ~0.7 s/s);
+    # 1.4x safety for slip re-correlations and weather drift
+    per_s = max(ship_mb_per_s / link_mbps, 0.7) * 1.4
+    n_fit = int((budget_s - 90.0) / per_s)
+    if n_fit < min_seconds:
+        log(f"session soak infeasible: link {link_mbps:.0f} MB/s fits "
+            f"only {n_fit}s/site inside the {budget_s:.0f}s budget "
+            f"(min {min_seconds})")
+        RESULTS["session_skipped_link_mbps"] = round(link_mbps, 1)
+        return None
+    n_seconds = int(np.clip(n_fit, min_seconds, n_target))
+    log(f"session soak: {n_seconds}s/site (target {n_target}; link "
+        f"{link_mbps:.0f} MB/s, budget {budget_s:.0f}s)")
+
+    # injected geometry in SAMPLES (scale-invariant; at the production
+    # 5 MS/s these are the rehearsal's 20000/16000/5000/37.5 ns values)
+    x_ns = 0.1875 * fs_ns
+    path_ns = 25.0 * fs_ns
+    # (lo_delay_ns, re_delay_ns, re_doppler): OP's remote line sits in
+    # the op-signed df window (-108..-92 kHz doubled), LTFB's in the
+    # positive window (claudio_...separate.m:135-141); windows scale
+    # with fs in StationConfig-free synthetic terms
+    # remote LO offsets at ~0.0099/0.00995 x fs (= ~49.5 kHz at 5 MS/s):
+    # the SQUARING-DOUBLED line lands inside the 0.0184..0.0216 x fs
+    # remote hunt window at any geometry
+    sites = {
+        "OP": (100.0 * fs_ns, 100.0 * fs_ns + path_ns + x_ns,
+               -0.0099 * fs),
+        "LTFB": (80.0 * fs_ns, 80.0 * fs_ns + path_ns - x_ns,
+                 0.00995 * fs),
+    }
+
+    def frac_roll(c, delay_samples):
+        k = np.fft.fftfreq(L)
+        return np.fft.ifft(
+            np.fft.fft(c) * np.exp(-2j * np.pi * k * delay_samples)
+        )
+
+    def write_channel(path, delay_ns, dop_hz, rng):
+        """Single-channel sc16 file; 14 unique noisy base seconds +
+        whole-code rolls -> content-unique for lcm(14, cps)=350 s
+        (dedup-proof at full session length)."""
+        c = frac_roll(code, delay_ns / fs_ns)
+        t = np.arange(fs) / cfg.fs
+        sig = 900.0 * np.tile(c, cps) * np.exp(2j * np.pi * dop_hz * t)
+        bases = []
+        for _ in range(14):
+            z = (sig + rng.normal(0, noise_sigma, fs)
+                 + 1j * rng.normal(0, noise_sigma, fs))
+            a = np.empty((fs, 2), np.int16)
+            a[:, 0] = np.clip(z.real, -32768, 32767)
+            a[:, 1] = np.clip(z.imag, -32768, 32767)
+            bases.append(a)
+        stride = 2
+        import math
+        while math.gcd(stride, cps) != 1:
+            stride += 1
+        with open(path, "wb") as f:
+            for s in range(n_seconds):
+                k = (s * stride) % cps
+                f.write(np.roll(bases[s % 14], k * L, axis=0).tobytes())
+
+    ts = {"OP": 1755400003, "LTFB": 1755400007}
+    dirs = {}
+    rng = np.random.default_rng(33)
+    for site in sites:
+        d = os.path.join(scratch, f"soak_{site}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        dirs[site] = d
+    # synthesis order == processing order so the producer thread stays
+    # ahead: synthesis is DISK-bound (~80 MB per session-second written)
+    # while the chains are LINK-bound — overlapping them hides most of
+    # the synthesis wall (measured 177 s for a 249 s/site session)
+    import threading
+
+    synth_jobs = []
+    for site, (lo_ns, re_ns, re_dop) in sites.items():
+        synth_jobs.append((os.path.join(dirs[site], f"{ts[site]}_2.bin"),
+                           lo_ns, 4.0))
+        synth_jobs.append((os.path.join(dirs[site], f"{ts[site]}_1.bin"),
+                           re_ns, re_dop))
+    ready = {path: threading.Event() for path, _, _ in synth_jobs}
+    synth_wall = {}
+
+    def producer():
+        t0 = time.time()
+        for path, d_ns, dop in synth_jobs:
+            write_channel(path, d_ns, dop, rng)
+            ready[path].set()
+        synth_wall["s"] = time.time() - t0
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
+    # -- the claudio chain on all 4 files (int8 device-resident path) ---
+    proc = ProcessingConfig(
+        conjugate_data=True,
+        # the reference hunts from 30 s in (claudio_...separate.m:128);
+        # short scaled sessions hunt proportionally earlier
+        skip_seconds=min(30.0, n_seconds / 4.0),
+    )
+    t0 = time.time()
+    chain_walls = {}
+    for site in sites:
+        st = StationConfig(op=(site == "OP"))
+        for ch, (remote, ranging) in (("2", (False, True)),
+                                      ("1", (True, False))):
+            # df windows as fs fractions == the production Hz constants
+            # at 5 MS/s (+/-8 kHz ranging; 92-108 kHz op-signed remote)
+            if ranging:
+                win = (-0.0016 * fs, 0.0016 * fs)
+            elif st.op:
+                win = (-0.0216 * fs, -0.0184 * fs)
+            else:
+                win = (0.0184 * fs, 0.0216 * fs)
+            cap = os.path.join(dirs[site], f"{ts[site]}_{ch}.bin")
+            ready[cap].wait()  # producer thread may still be writing it
+            t1 = time.time()
+            out = claudio.process_file(
+                cap, code_path, cfg, proc, st, remote=remote,
+                ranging=ranging, out_dir=dirs[site], transfer="int8",
+                df_window_hz=win,
+            )
+            chain_walls[f"{site}_{ch}"] = round(time.time() - t1, 1)
+            assert out is not None and out["found"], (site, ch)
+            os.remove(cap)
+            if ch == "2":
+                # the loopback chain is the reference's *ranging* script
+                # (own code, +/-8 kHz window); go_1s loads it under the
+                # lo naming (localclaudio*_2.mat.gz, go_1s.m:80)
+                src = out["mat_path"]
+                dst = os.path.join(
+                    dirs[site], f"localclaudio{ts[site]}_2.mat"
+                )
+                os.rename(src, dst)
+                out["mat_path"] = dst
+            with open(out["mat_path"], "rb") as f:
+                data = f.read()
+            with gzip.open(out["mat_path"] + ".gz", "wb") as f:
+                f.write(data)
+            os.remove(out["mat_path"])
+    chains_s = time.time() - t0
+    th.join(timeout=5.0)
+    synth_s = synth_wall.get("s", 0.0)
+    log(f"soak claudio chains: {chains_s:.0f}s ({chain_walls}); "
+        f"synthesis overlapped, {synth_s:.0f}s producer wall "
+        f"({4 * n_seconds * fs * 4 / 1e9:.1f} GB)")
+
+    # -- go1s session solve -> .1s products -> campaign ----------------
+    t0 = time.time()
+    out_dir = os.path.join(scratch, "soak_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    res = go1s.process_sessions(
+        dirs["OP"], dirs["LTFB"], out_dir, fs=cfg.fs, nint=proc.nint,
+        policy=GatingPolicy.for_signal(cfg, nint=proc.nint),
+        write_summary=True,
+    )
+    assert len(res) == 1, res
+    products = sorted(os.listdir(out_dir))
+    ones = [p for p in products if p.endswith(".1s") or p.endswith(".1sc")]
+    series = campaign_series(res, nint=proc.nint)
+    written = write_campaign_series(out_dir, series)
+    fig = plot_campaign(series, os.path.join(out_dir, "campaign.png"))
+    solve_s = time.time() - t0
+
+    # truth: a claudio-fed session recovers -x.  The claudio chain
+    # correlates ``fcode .* conj(ffty)`` (claudio_...separate.m:59) —
+    # its peak sits at MINUS the physical delay mod L, so every site's
+    # (re - lo) difference, and hence go_1s's res, carries the opposite
+    # sign of the godual/goranging convention (the reference feeds
+    # go_1s from claudio unchanged; res sign is a lead/lag convention).
+    # The check is FOLDED to the sample-period ambiguity grid: the
+    # MOVED re-seek anchors each file's delay origin to its own code
+    # alignment (claudio_...separate.m:176-186), so per-file origins
+    # differ by integer samples and the two-way combination carries a
+    # k*Ts ambiguity — exactly what go_1s.m:207-225 patches per
+    # session; the sub-sample part is the physics.
+    x_exp_ns = -x_ns
+    err_raw_ns = res[0]["res_mean_ns"] - x_exp_ns
+    err_ps = abs((err_raw_ns + fs_ns / 2) % fs_ns - fs_ns / 2) * 1e3
+    total = time.time() - t_soak0
+    log(f"soak: res {res[0]['res_mean_ns']:.4f} ns (truth {x_exp_ns}) err "
+        f"{err_ps:.1f} ps; 1s-std {res[0]['res25_std_ns']*1e3:.0f} ps; "
+        f"products {ones}; campaign {os.path.basename(fig)}; "
+        f"total {total:.0f}s")
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "session_wall_s": round(total, 1),
+        "session_seconds_per_site": n_seconds,
+        "session_target_seconds": n_target,
+        "session_synth_s": round(synth_s, 1),
+        "session_chains_s": round(chains_s, 1),
+        "session_chain_walls_s": chain_walls,
+        "session_solve_s": round(solve_s, 1),
+        "session_res_mean_ns": round(res[0]["res_mean_ns"], 4),
+        "session_offset_truth_ns": round(x_exp_ns, 4),
+        "session_offset_err_ps": round(err_ps, 1),
+        "session_res25_std_ps": round(res[0]["res25_std_ns"] * 1e3, 1),
+        "session_products": ones,
+        "session_campaign_files": [os.path.basename(w) for w in written]
+        + [os.path.basename(fig)],
+    }
+
+
 def derive_v5e16_model(e2e: dict, kernel_msps: float, n_seconds: int) -> dict:
     """Term-by-term model of the 1-hour dual-station capture on a
     v5e-16 (4 hosts x 4 chips), from measured stage rates.
@@ -1125,12 +1384,29 @@ def main() -> None:
             ))
         except Exception as e:  # noqa: BLE001
             log(f"two-way rehearsal failed: {e!r}")
+    if os.environ.get("TWSTFT_BENCH_SOAK", "1") != "0":
+        try:
+            # production-session soak: use what remains of the watchdog
+            # budget minus a reserve for the on-device test suite
+            elapsed = time.time() - RESULTS.get("_t0", time.time())
+            remaining = RESULTS.get("_deadline_s", 3300.0) - elapsed
+            soak_budget = remaining - 500.0
+            if soak_budget > 150.0:
+                RESULTS.update(bench_session_soak(cfg, scratch, soak_budget))
+            else:
+                log(f"session soak skipped: only {remaining:.0f}s of "
+                    "deadline left")
+                RESULTS["session_skipped_s_left"] = round(remaining, 0)
+        except Exception as e:  # noqa: BLE001
+            log(f"session soak failed: {e!r}")
     if os.environ.get("TWSTFT_BENCH_TPU_TESTS", "1") != "0":
         try:
             RESULTS.update(run_tpu_tests())
         except Exception as e:  # noqa: BLE001
             log(f"tpu tests failed to run: {e!r}")
 
+    RESULTS.pop("_t0", None)
+    RESULTS.pop("_deadline_s", None)
     _emit()
 
 

@@ -274,3 +274,77 @@ def test_dllpll_serve_broadcasts_track_reports(small_cfg, tmp_path):
     gd = np.median([t["gd_ns"] for t in tracks])
     exp = 137.0 / small_cfg.fs * 1e9
     assert abs(gd - exp) < 0.02 * exp, (gd, exp)
+
+
+def test_live_plot_consumer(tmp_path):
+    """The matplotlib live-view consumer (the zmq_rx.py Qt GUI role,
+    utils/plotview.py) renders the broadcast spectra + delay/SNR tracks
+    and writes a snapshot — closing SURVEY §2.4's monitoring display."""
+    from amaranth_twstft_tpu.utils.plotview import LiveMonitorPlot
+
+    rng = np.random.default_rng(0)
+    msgs = [{"type": "hello", "fs": 5e6, "channels": 2}]
+    for ch in (1, 2):
+        msgs.append({
+            "type": "spectrum", "epoch": 0, "ch": ch,
+            "bins_db": rng.normal(-60, 5, 128).tolist(),
+            "f_lo_hz": -2.5e6, "f_hi_hz": 2.5e6,
+        })
+    for n in range(50):
+        for ch in (1, 2):
+            msgs.append({
+                "type": "row", "epoch": n, "ch": ch,
+                "delay_samp": 1234.0 + 0.01 * n + 0.1 * ch,
+                "df_hz": 130.0, "snr_db": 6.0 + rng.normal(0, 0.2),
+                "cn0_dbhz": 50.0,
+            })
+    msgs.append({"type": "track", "second": 1, "prn": 9,
+                 "gd_ns": 246800.0})
+    msgs.append({"type": "end"})
+
+    out = tmp_path / "live.png"
+    view = LiveMonitorPlot(save_path=str(out), save_every_s=0.0)
+    path = view.run(iter(msgs))
+    assert path == str(out)
+    assert out.exists() and out.stat().st_size > 10_000
+    assert view.n_msgs == len(msgs)
+    assert set(view.delays) == {1, 2} and "PRN9" in view.tracks
+
+
+def test_live_plot_over_socket(tmp_path):
+    """Socket end-to-end: producer broadcasts, the plot consumer
+    subscribes via connect_monitor and snapshots on 'end'."""
+    import threading
+    import time
+
+    from amaranth_twstft_tpu.utils.plotview import LiveMonitorPlot
+    from amaranth_twstft_tpu.utils.stream import (
+        MonitorServer,
+        connect_monitor,
+    )
+
+    srv = MonitorServer(hello={"fs": 5e6, "channels": 1})
+    out = tmp_path / "sock.png"
+    view = LiveMonitorPlot(save_path=str(out), save_every_s=60.0)
+    result = {}
+
+    def consume():
+        result["path"] = view.run(
+            connect_monitor(srv.host, srv.port, timeout_s=10.0)
+        )
+
+    t = threading.Thread(target=consume)
+    t.start()
+    deadline = time.time() + 5.0
+    while srv.n_clients == 0 and time.time() < deadline:
+        time.sleep(0.02)
+    assert srv.n_clients == 1
+    for n in range(10):
+        srv.publish({"type": "row", "epoch": n, "ch": 1,
+                     "delay_samp": 100.0 + n, "df_hz": 0.0,
+                     "snr_db": 5.0, "cn0_dbhz": 48.0})
+    srv.close()
+    t.join(timeout=15.0)
+    assert not t.is_alive()
+    assert result["path"] == str(out) and out.exists()
+    assert len(view.delays[1]) == 10

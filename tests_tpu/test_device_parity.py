@@ -74,12 +74,14 @@ def _oracle_delays(capd, prod_cfg, prod_code, df):
     return out
 
 
-#: p99 bound per transfer format, ps — 2x headroom over the measured
-#: on-device numbers (PARITY.md deviation 10: f16 2.8 ps, int8 10.4 ps
-#: at 200 epochs; int8-pow2 coarsens the step <=2x -> ~18 ps measured;
-#: sc16 is bit-identical to f32 so it shares f16's bound)
-P99_BOUND_PS = {"float16": 20.0, "int8": 60.0, "int8-pow2": 90.0,
-                "sc16": 20.0}
+#: p99 bound per transfer format, ps — ~3x the measured on-device p99
+#: (VERDICT r04 item 5; PARITY.md deviation 10: f16 2.4-2.8 ps, sc16
+#: 2.5 ps, int8 10.4-11.9 ps across rounds; int8-pow2 coarsens the
+#: quantization step <=2x -> 10.4-18 ps measured).  Tight enough that a
+#: silent 3x regression FAILS the device suite, loose enough for
+#: round-to-round noise.
+P99_BOUND_PS = {"float16": 8.0, "int8": 36.0, "int8-pow2": 54.0,
+                "sc16": 8.0}
 
 
 @pytest.mark.parametrize("mode", ["int8", "int8-pow2", "sc16", "float16"])
