@@ -282,7 +282,10 @@ def process_file(
     step = None
     pad_to = 0
     resident = accel and transfer in ("auto", "int8")
-    if accel:
+    if accel and not resident:
+        # (resident mode never calls this step — its windows run
+        # through the cached packed programs below; building it anyway
+        # would upload several MB of replica constants per file)
         step = boundary.make_ranging_step(
             np.asarray(rep.fcode), np.asarray(rep.code_interp),
             np.ones(L, bool), fs, nint=proc.nint, conjugate_data=True,
@@ -291,7 +294,10 @@ def process_file(
     if resident:
         from amaranth_twstft_tpu import native as _native
 
-        rk = (os.path.abspath(code_path), L, block, proc.nint, float(fs))
+        # the cache key must cover everything that shapes the compiled
+        # replica constants: hamming_window changes rep.fcode itself
+        rk = (os.path.abspath(code_path), L, block, proc.nint, float(fs),
+              bool(proc.hamming_window))
         if rk not in _RESIDENT_CACHE:
             step_packed = boundary.make_ranging_step(
                 np.asarray(rep.fcode), np.asarray(rep.code_interp),
@@ -314,6 +320,14 @@ def process_file(
     kbon = -1
     start = int(proc.skip_seconds * fs)
     pos = start
+    if accel:
+        # hoisted device constants: a late-validating (or absent)
+        # Doppler line would otherwise re-ship the replica spectrum and
+        # mask on every 2-s hunt block over the byte-rate-bound link
+        dev_fcode_ri = jnp.asarray(
+            boundary.pack_complex(np.asarray(rep.fcode))
+        )
+        dev_mask = jnp.asarray(mask)
     while pos + block <= n_total:
         if resident:
             # int8 hunt: both detection statistics are ratios, so the
@@ -333,11 +347,9 @@ def process_file(
             kb, _ = search_df_candidates_ri(
                 jnp.asarray(q8),
                 jnp.asarray(dc),
-                jnp.asarray(
-                    boundary.pack_complex(np.asarray(rep.fcode))
-                ),
+                dev_fcode_ri,
                 fs,
-                jnp.asarray(mask),
+                dev_mask,
                 threshold=proc.df_threshold,
             )
             kbon = int(kb)
@@ -358,11 +370,9 @@ def process_file(
                 jnp.asarray(
                     boundary.pack_complex(dblk[:L] - dblk[:L].mean())
                 ),
-                jnp.asarray(
-                    boundary.pack_complex(np.asarray(rep.fcode))
-                ),
+                dev_fcode_ri,
                 fs,
-                jnp.asarray(mask),
+                dev_mask,
                 threshold=proc.df_threshold,
             )
             kbon = int(kb)
@@ -392,9 +402,12 @@ def process_file(
         tail16 = 0  # carry start within prev_f32
         dold_len = 0
         pending = None  # (dev_q8, scale): next raw block, upload issued
+        at_eof = False  # the prefetch already saw the short tail
     while True:
         if resident:
             if pending is None:
+                if at_eof:
+                    break  # the reference drops the final partial block
                 blk16, nf = _native.read_raw16(capture_path, pos, block,
                                                channels=1)
                 if nf < block:
@@ -431,6 +444,8 @@ def process_file(
                 q8, scale_n = _quantize_q8(blk16)
                 pending = (jax.device_put(q8), scale_n)
                 pos += block
+            else:
+                at_eof = True  # don't re-read the short tail next loop
             packed = np.asarray(packed_dev)  # ONE result fetch per block
             df_val = float(np.asarray(df_dev))
             res = _decode_packed(packed, n_win)

@@ -142,9 +142,10 @@ class LiveMonitorPlot:
             p = np.asarray(pts)
             ax_dl.plot(p[:, 0], p[:, 1], color=_color(ch), linewidth=1.4,
                        label=f"ch{ch}")
+        ns_per_samp = 1e9 / self.fs if self.fs else 200.0  # hello's fs
         for i, (key, pts) in enumerate(sorted(self.tracks.items())):
             p = np.asarray(pts)
-            ax_dl.plot(p[:, 0], p[:, 1] / 200.0,  # ns -> samples at 5 MS/s
+            ax_dl.plot(p[:, 0], p[:, 1] / ns_per_samp,  # gd_ns -> samples
                        color=_SERIES[i % len(_SERIES)], linewidth=1.2,
                        linestyle="--", label=key)
         ax_dl.set_title("correlation-peak delay", color=_INK, fontsize=10)

@@ -697,9 +697,15 @@ def bench_tracking(cfg) -> dict:
                 break
         if now - t_loop0 > budget_s:
             break
-    per_second = float(np.median(times))
+    # best-3 median = the converged capability, same discipline as the
+    # e2e/chains/host-ingest numbers (the stopping rule converges on the
+    # 3 fastest, so a median over ALL reps would always fold the warm-up
+    # and weather outliers back in)
+    best3 = sorted(times)[:3]
+    per_second = float(np.median(best3 if len(times) >= 3 else times))
     stats = {
         "median_s": round(per_second, 3),
+        "median_all_s": round(float(np.median(times)), 3),
         "min_s": round(min(times), 3),
         "max_s": round(max(times), 3),
         "reps": len(times),
@@ -1396,7 +1402,10 @@ def main() -> None:
             remaining = RESULTS.get("_deadline_s", 3300.0) - elapsed
             soak_budget = remaining - 500.0
             if soak_budget > 150.0:
-                RESULTS.update(bench_session_soak(cfg, scratch, soak_budget))
+                soak = bench_session_soak(cfg, scratch, soak_budget)
+                if soak is not None:
+                    RESULTS.update(soak)
+                # None = infeasible link, already recorded by the soak
             else:
                 log(f"session soak skipped: only {remaining:.0f}s of "
                     "deadline left")
