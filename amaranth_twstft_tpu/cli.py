@@ -629,6 +629,53 @@ def _dispatch(args) -> int:
         s = 0
         idle = 0.0
         last_total = -1
+        # H2D double buffering (the BankedReceiver.run_stream
+        # discipline): second s+1's packed upload rides the link while
+        # second s's bank program runs, so the stream stays real-time
+        # on links where the transfer rivals the compute.  Output lags
+        # the capture by one second.  SIC configurations and the host
+        # oracle stay sequential (the SIC rows need final state).
+        pipeline_h2d = (
+            use_bank and len(geoms) == 1 and not getattr(rx, "_sic_any", True)
+        )
+        pending = None  # (second index, PendingSecond)
+
+        def emit(sec_idx, reports):
+            for ch, rep in zip(rx.channels, reports):
+                if rep is None:
+                    continue
+                if server is not None:
+                    server.publish({
+                        "type": "track", "second": sec_idx,
+                        "physical": ch.cfg.physical,
+                        "prn": int(ch.cfg.prn_id),
+                        "fc_hz": round(float(rep.fc_hz), 6),
+                        "phi_cycles": round(float(rep.phi_cycles), 8),
+                        "cnt": int(rep.cnt),
+                        "gd_ns": round(float(rep.gd_ns), 6),
+                        "dg_ns_per_s": round(float(rep.dg_ns_per_s), 6),
+                        "sdgd_ns": round(float(rep.sdgd_ns), 4),
+                        "pk_dbm": round(float(rep.pk_dbm), 3),
+                        "pnoise_dbm": round(float(rep.pnoise_dbm), 3),
+                    })
+                print(
+                    f"{sec_idx} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
+                    f"{rep.fc_hz:14.6f} {rep.phi_cycles:11.8f} "
+                    f"{rep.cnt:3d} {rep.gd_ns:14.6f} {rep.dg_ns_per_s:11.6f} "
+                    f"{rep.sdgd_ns:8.4f} {rep.pk_dbm:7.3f} {rep.pnoise_dbm:7.3f}"
+                )
+                if args.out_dir and not use_bank:
+                    # the banked receiver writes its own .dat rows
+                    from amaranth_twstft_tpu.models.dllpll import (
+                        dat_filename,
+                    )
+
+                    with open(
+                        os.path.join(args.out_dir, dat_filename(ch.cfg)),
+                        "a",
+                    ) as f:
+                        f.write(rep.row(ch.nobs / args.fs) + "\n")
+
         try:
             while True:
                 total = io.n_samples_sc16(args.capture, channels=2)
@@ -654,41 +701,17 @@ def _dispatch(args) -> int:
                 sec = {"A": d[0, 0], "B": d[1, 0]}
                 if args.real:
                     sec = {k: np.real(v) for k, v in sec.items()}
-                reports = rx.process_second(sec)
-                for ch, rep in zip(rx.channels, reports):
-                    if rep is not None:
-                        if server is not None:
-                            server.publish({
-                                "type": "track", "second": s,
-                                "physical": ch.cfg.physical,
-                                "prn": int(ch.cfg.prn_id),
-                                "fc_hz": round(float(rep.fc_hz), 6),
-                                "phi_cycles": round(float(rep.phi_cycles), 8),
-                                "cnt": int(rep.cnt),
-                                "gd_ns": round(float(rep.gd_ns), 6),
-                                "dg_ns_per_s": round(float(rep.dg_ns_per_s), 6),
-                                "sdgd_ns": round(float(rep.sdgd_ns), 4),
-                                "pk_dbm": round(float(rep.pk_dbm), 3),
-                                "pnoise_dbm": round(float(rep.pnoise_dbm), 3),
-                            })
-                        print(
-                            f"{s} {ch.cfg.physical} PRN{ch.cfg.prn_id} "
-                            f"{rep.fc_hz:14.6f} {rep.phi_cycles:11.8f} "
-                            f"{rep.cnt:3d} {rep.gd_ns:14.6f} {rep.dg_ns_per_s:11.6f} "
-                            f"{rep.sdgd_ns:8.4f} {rep.pk_dbm:7.3f} {rep.pnoise_dbm:7.3f}"
-                        )
-                        if args.out_dir and not use_bank:
-                            # the banked receiver writes its own .dat rows
-                            from amaranth_twstft_tpu.models.dllpll import (
-                                dat_filename,
-                            )
-
-                            with open(
-                                os.path.join(args.out_dir, dat_filename(ch.cfg)),
-                                "a",
-                            ) as f:
-                                f.write(rep.row(ch.nobs / args.fs) + "\n")
+                if pipeline_h2d:
+                    nxt = rx.upload_second(sec)  # async: overlaps compute
+                    if pending is not None:
+                        emit(pending[0],
+                             rx.process_second(pending=pending[1]))
+                    pending = (s, nxt)
+                else:
+                    emit(s, rx.process_second(sec))
                 s += 1
+            if pending is not None:
+                emit(pending[0], rx.process_second(pending=pending[1]))
             if args.out_dir and not use_bank:
                 with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
                     for line in rx.log:
