@@ -101,9 +101,10 @@ def _quantize_q8(a16: np.ndarray) -> tuple[np.ndarray, float]:
     return out.reshape(a16.shape), scale
 
 
-#: (code_path, L, block, nint, fs) -> (block_prog, slip_prog); the
-#: compiled programs survive across process_file calls so a multi-file
-#: session pays the jit/compile-cache load once, not per file.
+#: (code_path, L, block, nint, fs, hamming) -> (block_prog, slip_prog,
+#: CAP, CARRY); the compiled programs survive across process_file calls
+#: so a multi-file session pays the jit/compile-cache load once, not
+#: per file.
 _RESIDENT_CACHE: dict = {}
 
 
