@@ -157,3 +157,60 @@ def test_sharded_tracker_step_on_device(accel, prod_cfg):
     # cross-correlation profile can legitimately pass the tracking
     # gates — false-lock rejection lives in acquisition's SNR gate,
     # tested in tests/test_tracker.py — so no assertion on it here)
+
+
+def test_claudio_resident_slip_reseek_on_device(accel, tmp_path):
+    """Sample-loss slip through the ROLLING int8 resident path: a
+    mid-file sample drop must trigger the MOVED re-seek across the
+    device-resident carry and keep the delay series locked
+    (claudio_...separate.m:176-186; the carry/slip machinery is the
+    most fragile part of the resident design)."""
+    import numpy as np
+
+    from amaranth_twstft_tpu.config import ProcessingConfig, SignalConfig
+    from amaranth_twstft_tpu.models import claudio
+    from amaranth_twstft_tpu.ops.lfsr import prn_chips, write_prn_file
+    from amaranth_twstft_tpu.ops.prn import chips_to_pm1, upsample_zoh
+
+    cfg = SignalConfig(fs=1e5, chip_rate=5e4, code_len=1000, bit_len=10,
+                       taps=9)
+    fs, L = int(cfg.fs), cfg.samples_per_code
+    code_path = str(tmp_path / "code.bin")
+    write_prn_file(code_path, cfg.bit_len, cfg.code_len, cfg.taps)
+    chips = prn_chips(cfg.bit_len, cfg.taps, cfg.code_len)
+    code = chips_to_pm1(upsample_zoh(chips, cfg.samples_per_chip),
+                        np.float64)
+    rng = np.random.default_rng(9)
+    t = np.arange(fs) / cfg.fs
+    sec = (900 * np.tile(np.roll(code, 431), fs // L)
+           * np.exp(2j * np.pi * 120.0 * t))
+    full = np.concatenate([
+        np.roll(sec, (s % 5) * L)
+        + rng.normal(0, 150, fs) + 1j * rng.normal(0, 150, fs)
+        for s in range(12)
+    ])
+    drop = 437  # mid-file sample loss
+    cut = 6 * fs + 1234
+    full = np.concatenate([full[:cut], full[cut + drop:]])
+    cap = str(tmp_path / "cap_1.bin")
+    a = np.empty((len(full), 2), np.int16)
+    a[:, 0] = np.real(full)
+    a[:, 1] = np.imag(full)
+    a.tofile(cap)
+
+    proc = ProcessingConfig(conjugate_data=True, skip_seconds=2.0)
+    out = claudio.process_file(
+        cap, code_path, cfg, proc, ranging=True, out_dir=str(tmp_path),
+        transfer="int8", df_window_hz=(-500.0, 500.0),  # 2x120 Hz line
+    )
+    assert out["found"]
+    moved = [m for m in out["moved"] if m > 1]  # beyond initial align
+    print(f"\n[tpu] resident slip: moved={out['moved']} "
+          f"epochs={len(out['indice'])}", flush=True)
+    assert moved, "the induced sample loss must re-seek (MOVED)"
+    ind = np.asarray(out["indice"])
+    # after each re-seek the peak returns to the ~21-sample margin
+    assert np.median(ind) == 21.0 or abs(np.median(ind) - 21.0) < 1.0
+    # delay stays locked across the slip: no residual wander
+    tail = ind[moved[-1] + 5 :]
+    assert len(tail) > 50 and np.all(np.abs(tail - np.median(tail)) < 2.0)
