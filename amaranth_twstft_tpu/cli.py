@@ -626,19 +626,37 @@ def _dispatch(args) -> int:
         max_nobs = max(
             int(round(args.fs / c.chip_rate)) * c.code_len for c in chans
         )
-        s = 0
-        idle = 0.0
-        last_total = -1
-        # H2D double buffering (the BankedReceiver.run_stream
-        # discipline): second s+1's packed upload rides the link while
-        # second s's bank program runs, so the stream stays real-time
-        # on links where the transfer rivals the compute.  Output lags
-        # the capture by one second.  SIC configurations and the host
-        # oracle stay sequential (the SIC rows need final state).
-        pipeline_h2d = (
-            use_bank and len(geoms) == 1 and not getattr(rx, "_sic_any", True)
-        )
-        pending = None  # (second index, PendingSecond)
+        def seconds_gen():
+            """Per-second sample dicts with the --follow/idle contract."""
+            s = 0
+            idle = 0.0
+            last_total = -1
+            while True:
+                total = io.n_samples_sc16(args.capture, channels=2)
+                if total > last_total:
+                    # --follow idleness = no FILE GROWTH (the help's
+                    # contract), not no-new-second: a slower-than-real-
+                    # time writer must not end the acquisition
+                    idle = 0.0
+                    last_total = total
+                if args.seconds and s >= args.seconds:
+                    return
+                if total < (s + 1) * fs:
+                    if not args.follow or idle >= args.idle_timeout:
+                        return
+                    _time.sleep(0.2)
+                    idle += 0.2
+                    continue
+                n_take = min(fs + max_nobs, total - s * fs)
+                d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, n_take,
+                                           channels=2)
+                if d.shape[1] == 0:
+                    return
+                sec = {"A": d[0, 0], "B": d[1, 0]}
+                if args.real:
+                    sec = {k: np.real(v) for k, v in sec.items()}
+                yield sec
+                s += 1
 
         def emit(sec_idx, reports):
             for ch, rep in zip(rx.channels, reports):
@@ -677,41 +695,20 @@ def _dispatch(args) -> int:
                         f.write(rep.row(ch.nobs / args.fs) + "\n")
 
         try:
-            while True:
-                total = io.n_samples_sc16(args.capture, channels=2)
-                if total > last_total:
-                    # --follow idleness = no FILE GROWTH (the help's
-                    # contract), not no-new-second: a slower-than-real-
-                    # time writer must not end the acquisition
-                    idle = 0.0
-                    last_total = total
-                if args.seconds and s >= args.seconds:
-                    break
-                if total < (s + 1) * fs:
-                    if not args.follow or idle >= args.idle_timeout:
-                        break
-                    _time.sleep(0.2)
-                    idle += 0.2
-                    continue
-                n_take = min(fs + max_nobs, total - s * fs)
-                d, _ = io.read_sc16_epochs(args.capture, s * fs, 1, n_take,
-                                           channels=2)
-                if d.shape[1] == 0:
-                    break
-                sec = {"A": d[0, 0], "B": d[1, 0]}
-                if args.real:
-                    sec = {k: np.real(v) for k, v in sec.items()}
-                if pipeline_h2d:
-                    nxt = rx.upload_second(sec)  # async: overlaps compute
-                    if pending is not None:
-                        emit(pending[0],
-                             rx.process_second(pending=pending[1]))
-                    pending = (s, nxt)
-                else:
-                    emit(s, rx.process_second(sec))
-                s += 1
-            if pending is not None:
-                emit(pending[0], rx.process_second(pending=pending[1]))
+            if use_bank and len(geoms) == 1:
+                # H2D double buffering via the receiver's own stream
+                # driver: second s+1's packed upload rides the link
+                # while second s's bank program runs, so the stream
+                # stays real-time on links where the transfer rivals
+                # the compute (run_stream serializes SIC configs
+                # itself; live output lags the capture by one second
+                # and the last pending second flushes on stream end)
+                for s_idx, reports in enumerate(rx.run_stream(seconds_gen())):
+                    emit(s_idx, reports)
+            else:
+                # host oracle / heterogeneous MultiBank: sequential
+                for s_idx, sec in enumerate(seconds_gen()):
+                    emit(s_idx, rx.process_second(sec))
             if args.out_dir and not use_bank:
                 with open(os.path.join(args.out_dir, "rxcomplex.log"), "a") as f:
                     for line in rx.log:

@@ -321,7 +321,8 @@ def process_file(
     kbon = -1
     start = int(proc.skip_seconds * fs)
     pos = start
-    if accel:
+    dev_fcode_ri = dev_mask = None
+    if accel and pos + block <= n_total:
         # hoisted device constants: a late-validating (or absent)
         # Doppler line would otherwise re-ship the replica spectrum and
         # mask on every 2-s hunt block over the byte-rate-bound link
@@ -389,6 +390,9 @@ def process_file(
         if kbon >= 0:
             break
         pos += block
+    # release the hunt constants' device pins before the main loop
+    # (the mask alone is ~40 MB f32 at production block length)
+    del dev_fcode_ri, dev_mask
     if kbon < 0:
         # no signal found in the whole file
         matio.save_claudio_style(out_mat, _acc_asdict(acc), code=rep.code)
