@@ -327,7 +327,26 @@ def test_int4_pack_device_roundtrip():
     assert lv.min() >= -8 and lv.max() <= 7
 
 
-@pytest.mark.parametrize("transfer", ["int8", "int4"])
+def test_int2_pack_device_roundtrip():
+    """2-bit sign/magnitude transfer decodes on device to exactly the
+    host-quantized +/-1T, +/-3T levels (4 codes per byte)."""
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.models.tracker import _bufs_to_f32, pack_int2_ri
+
+    rng = np.random.default_rng(4)
+    bufs = rng.normal(0, 300, (2, 63, 2)).astype(np.float32)  # odd S
+    packed, t = pack_int2_ri(bufs)
+    assert packed.dtype == np.uint8 and packed.shape == (2, 32)
+    dec = np.asarray(_bufs_to_f32(jnp.asarray(packed), jnp.float32(t)))
+    assert dec.shape == (2, 64, 2)  # padded to even
+    sign = np.where(bufs > 0, 1.0, -1.0)
+    mag = np.where(np.abs(bufs) > t, 3.0, 1.0)
+    np.testing.assert_allclose(dec[:, :63], sign * mag * t, rtol=1e-6)
+    assert set(np.unique(np.round(dec / t))) <= {-3.0, -1.0, 1.0, 3.0}
+
+
+@pytest.mark.parametrize("transfer", ["int8", "int4", "int2"])
 def test_quantized_transfer_tracks_truth(small_cfg, two_prn_stream, transfer):
     """The tracking bank locks and recovers the injected delay/Doppler
     through the quantized transfer formats (int8 = the ranging parity
