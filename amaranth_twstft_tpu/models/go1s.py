@@ -218,7 +218,14 @@ def site_delays(
         return None
 
     re = matio.load_result(re_path)
-    xval_re = re["raw"]["xval1"].ravel()[k]
+    if "xval1" not in re["raw"]:
+        return None  # other-producer format / empty remote archive
+    xval_all = re["raw"]["xval1"].ravel()
+    if len(xval_all) <= int(k.max(initial=0)):
+        # remote archive shorter than the loopback's gated epoch set
+        # (truncated capture): unusable, same path as the loopback gate
+        return None
+    xval_re = xval_all[k]
     kkk = np.flatnonzero(
         np.abs(xval_re) > np.abs(xval_re).max() * policy.amplitude_ratio
     )

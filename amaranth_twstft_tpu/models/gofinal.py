@@ -123,7 +123,12 @@ def extract_session(
 
 
 def write_rows(path: str, rows: list[tuple]) -> None:
-    """``gofinal_ltfb.m:86-91`` row format."""
+    """``gofinal_ltfb.m:86-91`` row format.
+
+    The mixed line endings are the reference's own: its header fprintf
+    literally ends ``\\r\\n`` while every data row ends ``\\n``
+    (``gofinal_ltfb.m:86`` vs ``:88``) — byte compatibility requires
+    reproducing that."""
     with open(path, "w") as f:
         f.write(
             "% y  m  d  h  m  s\tdelay\t\tdf1\tSNR1\tdelay2\tdf2\tSNR2"

@@ -142,8 +142,13 @@ def fold_sample_ambiguity(res_ns: np.ndarray,
     """
     res = res_ns.copy()
     med = np.nanmedian(res)
-    res[res > med + policy.ambiguity_gate_ns] -= policy.ambiguity_ns
-    res[res < med - policy.ambiguity_gate_ns] += policy.ambiguity_ns
+    # both masks BEFORE mutating: folding down first and then testing
+    # the mutated values would fold those elements straight back up,
+    # silently undoing the positive-side fold (review r5)
+    up = res > med + policy.ambiguity_gate_ns
+    down = res < med - policy.ambiguity_gate_ns
+    res[up] -= policy.ambiguity_ns
+    res[down] += policy.ambiguity_ns
     return res
 
 
@@ -175,7 +180,11 @@ def notch_dominant_line(res: np.ndarray) -> tuple[np.ndarray, float, float]:
 
     Returns (filtered, line_bin, line_amplitude); the line position is the
     argmax of the positive-frequency half (bounded to 400 bins like the
-    reference), and 3 bins around it are zeroed.
+    reference), and the reference's EXACT window — bins
+    ``[peak-2, peak]``, i.e. skewed one bin low of center
+    (``resf(half-2+fftmax : half+fftmax) = 0``, ``go_1s.m:284-285``) —
+    is zeroed; a non-bin-centered line leaks into ``peak+1``, which the
+    reference (and therefore this) leaves in.
     """
     n = len(res)
     base = res - res.mean()
@@ -254,6 +263,13 @@ def solve_session(
     lt_lo, lt_re = lt_lo_ns[:n], lt_re_ns[:n]
 
     res = twoway_residual(op_re, op_lo, lt_re, lt_lo, policy)
+    # REFERENCE-FAITHFUL ORDER: outliers are NaN'd (inside
+    # twoway_residual) BEFORE the ambiguity fold, exactly as
+    # go_1s.m:193-194 precede :207-211 — so a whole-cluster one-sample
+    # slip (66.7 ns >> the 5 ns outlier gate) is NaN'd rather than
+    # folded, in the reference and here alike (its Octave median over
+    # NaNs additionally deadens the fold; np.nanmedian keeps ours live
+    # for the no-outlier case).
     res = fold_sample_ambiguity(res, policy)
     flagged = int(np.sum(np.abs(res - np.nanmean(res)) > policy.flag_ns))
 
@@ -520,6 +536,11 @@ def pair_and_solve_daily(
         op_rows, lt_rows = op_rows[:m], lt_rows[:m]
     if diff >= 180:
         return {"ok": False, "reason": f"time offset {diff} s too large"}
+    if len(op_rows) == 0 or len(lt_rows) == 0:
+        # offset under the 180 s gate but beyond a table's row count
+        # (e.g. a truncated capture): nothing overlaps
+        return {"ok": False, "reason": "no overlapping rows after "
+                "pseudo-time alignment"}
 
     # SNR criterion on col 9 (0-based 8), both stations (tw.m:31-34)
     for rows_pair in range(2):

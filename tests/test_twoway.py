@@ -158,3 +158,47 @@ def test_gating_policy_for_signal_scaling():
     assert p.amplitude_ratio == 0.5  # non-Ts levels untouched
     p2 = GatingPolicy.for_signal(small, outlier_ns=7.0)
     assert p2.outlier_ns == 7.0  # overrides win
+
+
+def test_fold_symmetric_both_sides():
+    """Review-r5 regression: both fold masks are computed BEFORE any
+    mutation, so mirrored escapes fold symmetrically (the sequential
+    version folded a positive escape down and then straight back up)."""
+    from amaranth_twstft_tpu.models.twoway import (
+        GatingPolicy,
+        fold_sample_ambiguity,
+    )
+
+    pol = GatingPolicy()
+    amb = pol.ambiguity_ns
+    base = np.zeros(100)
+    up = base.copy()
+    up[50] = 30.0
+    down = base.copy()
+    down[50] = -30.0
+    fu = fold_sample_ambiguity(up, pol)
+    fd = fold_sample_ambiguity(down, pol)
+    assert abs(fu[50] - (30.0 - amb)) < 1e-12, fu[50]
+    assert abs(fd[50] - (-30.0 + amb)) < 1e-12, fd[50]
+    # untouched bulk stays put
+    assert np.all(fu[:50] == 0) and np.all(fd[:50] == 0)
+
+
+def test_pair_and_solve_daily_no_overlap_returns_not_ok(tmp_path):
+    """Review-r5 regression: a pseudo-time offset under the 180 s gate
+    but beyond a table's row count returns ok=False, not ValueError."""
+    from amaranth_twstft_tpu.models.twoway import pair_and_solve_daily
+
+    def rows(t0, n):
+        out = []
+        for i in range(n):
+            out.append([2023, 3, 15, 10, 0, t0 + i,
+                        2e-5, 0.1, 30.0, 2.1e-5, 0.2, 31.0,
+                        2.6e-5, 0.3, 29.0])
+        return np.asarray(out, dtype=float)
+
+    # op starts 50 pseudo-seconds after lt, but lt has only 10 rows:
+    # the lt_rows[50:] slice is empty while diff=50 passes the 180 gate
+    out = pair_and_solve_daily(rows(50, 5), rows(0, 10))
+    assert out["ok"] is False
+    assert "overlap" in out["reason"] or "SNR" in out["reason"]
