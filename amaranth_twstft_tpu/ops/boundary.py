@@ -290,10 +290,8 @@ def make_ranging_step(
     ``mxu_fft=None`` auto-selects: matmul-staged transforms
     (:mod:`ops.mxufft`) on accelerators, XLA FFT on CPU.
     """
-    import jax as _jax
-
     if mxu_fft is None:
-        mxu_fft = _jax.devices()[0].platform != "cpu"
+        mxu_fft = on_accelerator()
     if mxu_fft:
         from amaranth_twstft_tpu.ops.mxufft import good_factors
 

@@ -76,6 +76,59 @@ def _resolve_ingest_dtype(
         return "int8"
     return "int16"
 
+def _prepass_df(capture_path, proc, signal, foffset_hz, in_dtype, accel,
+                n_chan):
+    """The per-file df pre-pass shared by both capture pipelines.
+
+    Decimate-by-N bounded-prefix read -> squaring-FFT argmax per channel
+    (the C++ chain's fixed per-file df, ``main.cpp:363-450``; channel 2
+    searches the WHOLE spectrum — the ``main.cpp:442`` quirk).  The
+    window is capped at PREPASS_MAX_SAMPLES decimated samples so only a
+    constant prefix of the capture is paged in.  Returns ([df...],
+    wall_seconds)."""
+    import jax.numpy as jnp
+
+    from amaranth_twstft_tpu.ops.doppler import (
+        PREPASS_MAX_SAMPLES,
+        bound_prepass_window,
+        per_file_df,
+        per_file_df_ri,
+    )
+
+    t0 = time.time()
+    dec = io.decimate_sc16(
+        capture_path, proc.df_decimation, channels=2,
+        max_out=PREPASS_MAX_SAMPLES,
+    )
+    dec = bound_prepass_window(dec)
+    if dec.shape[-1] == 0:
+        # empty/sub-frame capture (acquisition restart leftovers): a
+        # clean error beats the zero-size-reduction crash deep in the
+        # quantizer/argmax
+        raise ValueError(
+            f"capture {capture_path!r} is empty (no complete frames) — "
+            "nothing to process"
+        )
+
+    def _pfd(x, windowed):
+        if accel:
+            return per_file_df_ri(
+                jnp.asarray(_pack_prepass(x, in_dtype)),
+                signal.fs,
+                proc.df_decimation, foffset_hz=foffset_hz,
+                windowed=windowed,
+            )
+        return per_file_df(
+            jnp.asarray(x), signal.fs, proc.df_decimation,
+            foffset_hz=foffset_hz, windowed=windowed,
+        )
+
+    dfs = [float(_pfd(dec[0], True))]
+    if n_chan == 2:
+        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
+    return dfs, time.time() - t0
+
+
 __all__ = [
     "next_sampling_window",
     "next_processing_time",
@@ -135,12 +188,6 @@ def process_capture_overlapped(
     from amaranth_twstft_tpu.models.godual import ChannelArrays, build_replica
     from amaranth_twstft_tpu.models.goranging import default_mat_name
     from amaranth_twstft_tpu.ops import boundary
-    from amaranth_twstft_tpu.ops.doppler import (
-        bound_prepass_window,
-        per_file_df,
-        per_file_df_ri,
-    )
-
     proc = proc or ProcessingConfig(hamming_window=True)
     t_all = time.time()
     rep = build_replica(code_path, signal, proc, conjugate=True)
@@ -165,89 +212,71 @@ def process_capture_overlapped(
                    "fetch_s": 0.0, "bytes_shipped": 0, "n_batches": 0}
 
     def reader():
-        start = 0
-        while True:
-            scale = None
-            if n_chan == 2 and in_dtype == np.int8:
-                # int8 transfer mode: half the bytes of f16/sc16
-                d, n, scale = io.read_sc16_epochs_q8(
-                    capture_path, start, batch_epochs, L, channels=2,
-                    timers=stats,
-                )
-            elif n_chan == 2 and in_dtype == np.int16:
-                # raw sc16 ship: zero host convert, device dequant
-                d, n = io.read_sc16_epochs_raw16(
-                    capture_path, start, batch_epochs, L, channels=2,
-                    timers=stats,
-                )
-            elif n_chan == 2:
-                # single contiguous conversion, both channels in one
-                # buffer; the device deinterleaves (boundary layer)
-                d, n = io.read_sc16_epochs_packed(
-                    capture_path, start, batch_epochs, L, channels=2,
-                    dtype=in_dtype, timers=stats,
-                )
-            elif in_dtype == np.int8:
-                # remote/single-channel int8: quantize just channel 1's
-                # columns (half the bytes of the f16 single-channel ship)
-                d, n, scale = io.read_sc16_epochs_q8(
-                    capture_path, start, batch_epochs, L, channels=2,
-                    timers=stats, select=0,
-                )
-                d = d[None]  # (1, n, L, 2) — the channel-major layout
-            elif in_dtype == np.int16:
-                d, n = io.read_sc16_epochs_raw16(
-                    capture_path, start, batch_epochs, L, channels=2,
-                    timers=stats, select=0,
-                )
-                d = d[None]
-            else:
-                d, n = io.read_sc16_epochs_ri(
-                    capture_path, start, batch_epochs, L, channels=2,
-                    dtype=in_dtype,
-                )
-            if n == 0:
-                break
-            q.put((d, n, scale))
-            start += n * L
-            if n < batch_epochs:
-                break
+        # any reader failure must surface on the queue: a dead
+        # reader with no sentinel hangs the consumer forever
+        # (and, sharded, every other process at its next collective)
+        try:
+            start = 0
+            while True:
+                scale = None
+                if n_chan == 2 and in_dtype == np.int8:
+                    # int8 transfer mode: half the bytes of f16/sc16
+                    d, n, scale = io.read_sc16_epochs_q8(
+                        capture_path, start, batch_epochs, L, channels=2,
+                        timers=stats,
+                    )
+                elif n_chan == 2 and in_dtype == np.int16:
+                    # raw sc16 ship: zero host convert, device dequant
+                    d, n = io.read_sc16_epochs_raw16(
+                        capture_path, start, batch_epochs, L, channels=2,
+                        timers=stats,
+                    )
+                elif n_chan == 2:
+                    # single contiguous conversion, both channels in one
+                    # buffer; the device deinterleaves (boundary layer)
+                    d, n = io.read_sc16_epochs_packed(
+                        capture_path, start, batch_epochs, L, channels=2,
+                        dtype=in_dtype, timers=stats,
+                    )
+                elif in_dtype == np.int8:
+                    # remote/single-channel int8: quantize just channel 1's
+                    # columns (half the bytes of the f16 single-channel ship)
+                    d, n, scale = io.read_sc16_epochs_q8(
+                        capture_path, start, batch_epochs, L, channels=2,
+                        timers=stats, select=0,
+                    )
+                    d = d[None]  # (1, n, L, 2) — the channel-major layout
+                elif in_dtype == np.int16:
+                    d, n = io.read_sc16_epochs_raw16(
+                        capture_path, start, batch_epochs, L, channels=2,
+                        timers=stats, select=0,
+                    )
+                    d = d[None]
+                else:
+                    d, n = io.read_sc16_epochs_ri(
+                        capture_path, start, batch_epochs, L, channels=2,
+                        dtype=in_dtype, timers=stats,
+                        select=0 if n_chan == 1 else None,
+                    )
+                if n == 0:
+                    break
+                q.put((d, n, scale))
+                start += n * L
+                if n < batch_epochs:
+                    break
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
+            return
         q.put(None)
 
     th = threading.Thread(target=reader, daemon=True)
     th.start()
 
-    # --- df pre-pass (decimate-by-N whole-file squaring FFT), overlapped
-    # with the reader thread filling its prefetch window ----------------
-    t0 = time.time()
-    from amaranth_twstft_tpu.ops.doppler import PREPASS_MAX_SAMPLES
-
-    # prefix-bounded read: the pre-pass window is capped at
-    # PREPASS_MAX_SAMPLES decimated samples, so only that prefix of the
-    # capture is paged in (constant cost regardless of capture length —
-    # the strided whole-file sweep touched every page of a multi-GB file)
-    dec = io.decimate_sc16(
-        capture_path, proc.df_decimation, channels=2,
-        max_out=PREPASS_MAX_SAMPLES,
+    # --- df pre-pass, overlapped with the reader thread filling its
+    # prefetch window (shared helper, _prepass_df) ----------------------
+    dfs, t_df = _prepass_df(
+        capture_path, proc, signal, foffset_hz, in_dtype, accel, n_chan
     )
-    dec = bound_prepass_window(dec)
-
-    def _pfd(x, windowed):
-        if accel:
-            return per_file_df_ri(
-                jnp.asarray(_pack_prepass(x, in_dtype)),
-                signal.fs,
-                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
-            )
-        return per_file_df(
-            jnp.asarray(x), signal.fs, proc.df_decimation,
-            foffset_hz=foffset_hz, windowed=windowed,
-        )
-
-    dfs = [float(_pfd(dec[0], True))]
-    if n_chan == 2:
-        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
-    t_df = time.time() - t0
 
     t0 = time.time()
     step = boundary.make_ranging_step(
@@ -257,6 +286,7 @@ def process_capture_overlapped(
     df_full = np.repeat(
         np.asarray(dfs[:n_chan], np.float32), batch_epochs
     )  # (n_chan*B,) per-epoch fixed df
+    dfv_dev = jnp.asarray(df_full)  # uploaded ONCE, reused per batch
 
     chans = [ChannelArrays() for _ in range(n_chan)]
     pending: list[tuple] = []  # (outs, n) not yet fetched
@@ -283,6 +313,8 @@ def process_capture_overlapped(
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item  # reader thread failed (see reader())
         d, n, scale = item
         stats["n_batches"] += 1
         if n_chan == 2:
@@ -299,7 +331,7 @@ def process_capture_overlapped(
             iq = jnp.asarray(d)  # (B, L, 4): device deinterleaves
             stats["h2d_call_s"] += time.perf_counter() - th2
             stats["bytes_shipped"] += d.nbytes
-            dfv = jnp.asarray(df_full)
+            dfv = dfv_dev
         else:
             # remote/single-channel: pad the final partial batch like
             # the dual-channel branch — a fresh (n, L, 2) shape would
@@ -320,9 +352,7 @@ def process_capture_overlapped(
             stats["bytes_shipped"] += (
                 n_chan * batch_epochs * L * 2 * d.dtype.itemsize
             )
-            dfv = jnp.asarray(
-                np.repeat(np.asarray(dfs[:n_chan], np.float32), batch_epochs)
-            )
+            dfv = dfv_dev
         td = time.perf_counter()
         outs = step(iq, df_fixed=dfv, scale=scale)  # async dispatch
         stats["dispatch_call_s"] += time.perf_counter() - td
@@ -408,11 +438,6 @@ def process_capture_sharded(
     from amaranth_twstft_tpu.models.godual import ChannelArrays, build_replica
     from amaranth_twstft_tpu.models.goranging import default_mat_name
     from amaranth_twstft_tpu.ops import boundary
-    from amaranth_twstft_tpu.ops.doppler import (
-        bound_prepass_window,
-        per_file_df,
-        per_file_df_ri,
-    )
     from amaranth_twstft_tpu.parallel.mesh import make_mesh
 
     proc = proc or ProcessingConfig(hamming_window=True)
@@ -445,40 +470,48 @@ def process_capture_sharded(
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
     def reader():
-        start_epoch = 0
-        while start_epoch < total_avail:
-            n_glob = min(B_glob, total_avail - start_epoch)
-            # this process's contiguous slice of the global batch
-            lo = start_epoch + min(pid * B_proc, n_glob)
-            hi = start_epoch + min((pid + 1) * B_proc, n_glob)
-            scale = 1.0
-            if hi <= lo:
-                d, n_loc = np.zeros((0, L, 4), in_dtype), 0
-            elif in_dtype == np.int8:
-                d, n_loc, scale = io.read_sc16_epochs_q8(
-                    capture_path, lo * L, hi - lo, L, channels=2,
-                    timers=stats,
-                )
-            elif in_dtype == np.int16:
-                d, n_loc = io.read_sc16_epochs_raw16(
-                    capture_path, lo * L, hi - lo, L, channels=2,
-                    timers=stats,
-                )
-            else:
-                d, n_loc = io.read_sc16_epochs_packed(
-                    capture_path, lo * L, hi - lo, L, channels=2,
-                    dtype=in_dtype, timers=stats,
-                )
-            if n_loc < B_proc:
-                # zero-pad to the full local shape (fresh shapes would
-                # recompile); padded rows are dropped on the host
-                d = np.concatenate(
-                    [d[:n_loc],
-                     np.zeros((B_proc - n_loc,) + (L, 2 * 2), in_dtype)],
-                    axis=0,
-                )
-            q.put((d, n_glob, scale))
-            start_epoch += n_glob
+        # a dead reader with no sentinel hangs the consumer forever —
+        # and every OTHER process at its next collective (see the
+        # overlapped pipeline's reader)
+        try:
+            start_epoch = 0
+            while start_epoch < total_avail:
+                n_glob = min(B_glob, total_avail - start_epoch)
+                # this process's contiguous slice of the global batch
+                lo = start_epoch + min(pid * B_proc, n_glob)
+                hi = start_epoch + min((pid + 1) * B_proc, n_glob)
+                scale = 1.0
+                if hi <= lo:
+                    d, n_loc = np.zeros((0, L, 4), in_dtype), 0
+                elif in_dtype == np.int8:
+                    d, n_loc, scale = io.read_sc16_epochs_q8(
+                        capture_path, lo * L, hi - lo, L, channels=2,
+                        timers=stats,
+                    )
+                elif in_dtype == np.int16:
+                    d, n_loc = io.read_sc16_epochs_raw16(
+                        capture_path, lo * L, hi - lo, L, channels=2,
+                        timers=stats,
+                    )
+                else:
+                    d, n_loc = io.read_sc16_epochs_packed(
+                        capture_path, lo * L, hi - lo, L, channels=2,
+                        dtype=in_dtype, timers=stats,
+                    )
+                if n_loc < B_proc:
+                    # zero-pad to the full local shape (fresh shapes
+                    # would recompile); padded rows dropped on the host
+                    d = np.concatenate(
+                        [d[:n_loc],
+                         np.zeros((B_proc - n_loc,) + (L, 2 * 2),
+                                  in_dtype)],
+                        axis=0,
+                    )
+                q.put((d, n_glob, scale))
+                start_epoch += n_glob
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
+            return
         q.put(None)
 
     # reader starts BEFORE the df pre-pass so its first prefetch window
@@ -487,38 +520,12 @@ def process_capture_sharded(
     th = threading.Thread(target=reader, daemon=True)
     th.start()
 
-    # --- df pre-pass: decimated whole-file squaring FFT (replicated;
-    # every process reads the strided view of its OWN capture copy, or
-    # of the shared file — the decimated array is tiny) ----------------
-    t0 = time.time()
-    from amaranth_twstft_tpu.ops.doppler import PREPASS_MAX_SAMPLES
-
-    # prefix-bounded read: the pre-pass window is capped at
-    # PREPASS_MAX_SAMPLES decimated samples, so only that prefix of the
-    # capture is paged in (constant cost regardless of capture length —
-    # the strided whole-file sweep touched every page of a multi-GB file)
-    dec = io.decimate_sc16(
-        capture_path, proc.df_decimation, channels=2,
-        max_out=PREPASS_MAX_SAMPLES,
+    # --- df pre-pass (replicated; every process reads the bounded
+    # prefix of its own capture copy or the shared file — shared
+    # helper, numerics identical to process_capture_overlapped) --------
+    dfs, t_df = _prepass_df(
+        capture_path, proc, signal, foffset_hz, in_dtype, accel, n_chan
     )
-    dec = bound_prepass_window(dec)
-
-    def _pfd(x, windowed):
-        if accel:
-            return per_file_df_ri(
-                jnp.asarray(_pack_prepass(x, in_dtype)),
-                signal.fs,
-                proc.df_decimation, foffset_hz=foffset_hz, windowed=windowed,
-            )
-        return per_file_df(
-            jnp.asarray(x), signal.fs, proc.df_decimation,
-            foffset_hz=foffset_hz, windowed=windowed,
-        )
-
-    dfs = [float(_pfd(dec[0], True))]
-    if n_chan == 2:
-        dfs.append(float(_pfd(dec[1], False)))  # main.cpp:442 quirk
-    t_df = time.time() - t0
 
     # --- the sharded per-batch program --------------------------------
     step_local = boundary.make_ranging_step(
@@ -591,6 +598,8 @@ def process_capture_sharded(
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item  # reader thread failed (see reader())
         d, n_glob, scale = item
         scale_loc = np.full(n_dev // n_proc, scale, np.float32)
         if n_proc == 1:
@@ -685,6 +694,8 @@ def retry_until_valid(
         out = action()
         if validate(out):
             return out
+        if i == attempts - 1:
+            break  # no attempt follows: skip the reset + delay
         if on_retry:
             on_retry()
         time.sleep(delay_s)

@@ -92,6 +92,8 @@ def read_sc16_epochs_ri(
     samples_per_epoch: int,
     channels: int = 2,
     dtype=np.float32,
+    timers: dict | None = None,
+    select: int | None = None,
 ):
     """Epoch reader for the accelerator path: (channels, n, L, 2) float.
 
@@ -106,18 +108,32 @@ def read_sc16_epochs_ri(
     quantization noise against a -13 dB RF operating point.  The device
     program casts back to float32 (``ops/boundary._ranging_impl``).
     """
+    import time as _time
+
     mm = open_sc16(path, channels)
     total = mm.shape[0]
     n_avail = max(0, (total - start_sample) // samples_per_epoch)
     n = min(n_epochs, n_avail)
+    n_out = 1 if select is not None else channels
     if n == 0:
-        return np.zeros((channels, 0, samples_per_epoch, 2), dtype), 0
-    raw = np.asarray(
-        mm[start_sample : start_sample + n * samples_per_epoch]
-    ).astype(dtype)
-    out = np.empty((channels, n, samples_per_epoch, 2), dtype=dtype)
-    for c in range(channels):
-        out[c] = raw[:, 2 * c : 2 * c + 2].reshape(n, samples_per_epoch, 2)
+        return np.zeros((n_out, 0, samples_per_epoch, 2), dtype), 0
+    t0 = _time.perf_counter()
+    sl = mm[start_sample : start_sample + n * samples_per_epoch]
+    if select is not None:
+        # single-channel consumers (remote chains): convert ONLY the
+        # selected channel's columns — half the host-cast work
+        sl = sl[:, 2 * select : 2 * select + 2]
+    raw = np.asarray(sl)
+    t1 = _time.perf_counter()
+    conv = raw.astype(dtype)
+    out = np.empty((n_out, n, samples_per_epoch, 2), dtype=dtype)
+    for c in range(n_out):
+        out[c] = conv[:, 2 * c : 2 * c + 2].reshape(n, samples_per_epoch, 2)
+    if timers is not None:
+        t2 = _time.perf_counter()
+        timers["disk_s"] = timers.get("disk_s", 0.0) + (t1 - t0)
+        timers["convert_s"] = timers.get("convert_s", 0.0) + (t2 - t1)
+        timers["bytes_read"] = timers.get("bytes_read", 0) + raw.nbytes
     return out, n
 
 
